@@ -1,0 +1,84 @@
+"""Single typed configuration covering every behavioral knob of the reference.
+
+The reference scatters its tuning constants across file-local consts and
+compile-time defines (SfM.cpp:50-52, SfMStereoUtilities.cpp:41-42,
+SfMCommon.h:53, SfM2DFeatureUtilities.cpp:35,39, FindCameraMatrices.cpp:45,
+BundleAdjuster.cpp:36-40, IDistance.h:32-35). Here they are one dataclass.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class MatcherKind(enum.Enum):
+    """Matcher strategy selection — reference runtime bitmask
+    (IDistance.h:32-35, chosen in MultiCameraDistance.cpp:106-117)."""
+
+    RICH = "rich"            # ORB-like detect+describe+match (default; M3, L4)
+    OPTICAL_FLOW = "of"      # pyramidal LK flow matcher (L5)
+    DENSE = "dense"          # dense Farneback-style flow (L11)
+
+
+class EssentialDecomposition(enum.Enum):
+    """E -> (R, t) decomposition choice — reference compile-time
+    ``DECOMPOSE_SVD`` switch (FindCameraMatrices.cpp:45)."""
+
+    SVD_HZ = "svd"           # Hartley-Zisserman SVD (FindCameraMatrices.cpp:328-363)
+    HORN90 = "horn"          # Horn'90 closed form (FindCameraMatrices.cpp:51-111)
+
+
+@dataclasses.dataclass
+class SfMConfig:
+    # ---- features (reference: SfM2DFeatureUtilities.cpp:35-40) ----
+    max_features: int = 2048          # reference uses 5000 ORB keypoints
+    desc_bits: int = 256              # BRIEF descriptor length
+    pyramid_levels: int = 4           # ORB default is 8 @ 1.2 scale
+    pyramid_scale: float = 1.2
+    fast_threshold: float = 20.0      # FAST intensity threshold (of 255)
+    match_ratio: float = 0.8          # Lowe ratio (SfM2DFeatureUtilities.cpp:35)
+    match_ratio_flow: float = 0.7     # legacy GPU/OF ratio (GPUSURFFeatureMatcher.cpp:120)
+    cross_check: bool = False         # legacy RichFeatureMatcher BFMatcher(crossCheck=true)
+    max_matches: int = 1024           # static match capacity per pair
+    matcher: MatcherKind = MatcherKind.RICH
+
+    # ---- two-view geometry (reference: SfMStereoUtilities.cpp:41-42) ----
+    ransac_threshold_px: float = 10.0         # RANSAC_THRESHOLD
+    min_reprojection_error: float = 10.0      # MIN_REPROJECTION_ERROR triangulation gate
+    essential_threshold_px: float = 1.0       # findEssentialMat thr (SfMStereoUtilities.cpp:97)
+    essential_prob: float = 0.999
+    ransac_hypotheses: int = 512              # batched-hypothesis count (replaces iterative RANSAC)
+    pose_inliers_minimal_ratio: float = 0.5   # POSE_INLIERS_MINIMAL_RATIO (SfMCommon.h:53)
+    min_point_count_for_homography: int = 100 # MIN_POINT_COUNT_FOR_HOMOGRAPHY (SfM.cpp:52)
+    decomposition: EssentialDecomposition = EssentialDecomposition.SVD_HZ
+    triangulation_iters: int = 10             # Hartley-Sturm cap (Triangulation.h:52)
+    triangulation_eps: float = 1e-4
+    cheirality_min_frac: float = 0.75         # TestTriangulation gate (FindCameraMatrices.cpp:277-326)
+
+    # ---- PnP (reference: SfMStereoUtilities.cpp:216-231) ----
+    pnp_hypotheses: int = 256                 # reference: 100 RANSAC iters
+    pnp_threshold_px: float = 10.0
+    pnp_confidence: float = 0.99
+
+    # ---- cloud merge (reference: SfM.cpp:50-51) ----
+    merge_point_min_match_distance: float = 0.01
+    merge_feature_min_match_distance: float = 20.0
+
+    # ---- bundle adjustment (reference: SfMBundleAdjustmentUtils.cpp:171-177) ----
+    ba_max_iterations: int = 100              # reference caps Ceres at 500 / 10 s
+    ba_function_tolerance: float = 1e-6
+    ba_initial_lambda: float = 1e-3
+    ba_share_focal: bool = True               # one shared focal scalar (:138,164)
+    ba_dtype: str = "float32"
+
+    # ---- pipeline ----
+    point_capacity: int = 65536               # static map size
+    downscale: float = 1.0                    # CLI --downscale (main.cpp:47)
+    default_focal: float = 2500.0             # hardcoded K (SfM.cpp:70-74)
+
+    # ---- logging (reference: SfMCommon.h:38-44) ----
+    console_debug_level: int = 2              # 0=TRACE..4=ERROR, clamped like SfM.h:77-83
+    visual_debug_level: int = 4
+
+    # ---- distribution ----
+    mesh_axis: str = "devices"
