@@ -1,0 +1,221 @@
+"""Batched essential-matrix estimation and decomposition.
+
+TPU-native re-design of the reference's epipolar core:
+- cv::findEssentialMat RANSAC + cv::recoverPose
+  (SfMToyLib/SfMStereoUtilities.cpp:74-118)
+- legacy GetFundamentalMat / DecomposeEtoRandT (HZ SVD, W-matrix)
+  (legacy/SfMToyLib_Old/FindCameraMatrices.cpp:144-363)
+- legacy Horn'90 closed-form decomposition
+  (FindCameraMatrices.cpp:51-111, selected by #define DECOMPOSE_SVD)
+
+Estimation is the normalized 8-point algorithm as a weighted masked DLT
+(doubles as minimal solver and all-inlier refit); model selection is
+batched-hypothesis RANSAC with Sampson scoring; cheirality disambiguation
+triangulates all 4 candidate poses at once (vmap) and picks the pose with
+the most points in front of both cameras (equivalent of the legacy
+TestTriangulation >=75% gate, FindCameraMatrices.cpp:277-326).
+
+Convention: x2^T E x1 = 0 with E = [t]x R and x_2cam = R x_1cam + t.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpusfm import camera
+from tpusfm.geometry.linalg import hartley_normalize_2d, skew, smallest_singular_vector
+from tpusfm.geometry import triangulation as tri
+
+_EPS = 1e-12
+
+
+def _epipolar_rows(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Rows of the 8-point system for x2^T E x1 = 0. (N,2)x(N,2)->(N,9)."""
+    u, v = x1[:, 0], x1[:, 1]
+    up, vp = x2[:, 0], x2[:, 1]
+    one = jnp.ones_like(u)
+    return jnp.stack(
+        [up * u, up * v, up, vp * u, vp * v, vp, u, v, one], axis=1
+    )
+
+
+def essential_8pt(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Normalized 8-point essential matrix from N>=8 normalized-coord
+    correspondences. Weighted rows support masked refits. Enforces the
+    essential constraint via SVD -> diag(1,1,0) projection."""
+    n1, T1 = hartley_normalize_2d(x1, w)
+    n2, T2 = hartley_normalize_2d(x2, w)
+    A = _epipolar_rows(n1, n2)
+    f = smallest_singular_vector(A, w)
+    F = f.reshape(3, 3)
+    F = T2.T @ F @ T1
+    U, S, Vt = jnp.linalg.svd(F)
+    E = U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], F.dtype)) @ Vt
+    return E / jnp.maximum(jnp.linalg.norm(E), _EPS)
+
+
+def sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """First-order geometric (Sampson) epipolar distance, (N,).
+
+    In normalized camera coordinates; multiply pixel thresholds by 1/f to
+    compare (the reference's 1.0 px findEssentialMat threshold,
+    SfMStereoUtilities.cpp:97, becomes 1.0/f here).
+    """
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=1)
+    x2h = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=1)
+    Ex1 = x1h @ E.T          # (N,3)
+    Etx2 = x2h @ E           # (N,3)
+    num = jnp.sum(x2h * Ex1, axis=1)
+    den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    return jnp.abs(num) / jnp.sqrt(jnp.maximum(den, _EPS))
+
+
+def decompose_essential_hz(E: jnp.ndarray) -> jnp.ndarray:
+    """HZ 9.13/9.19 SVD decomposition -> 4 candidate poses (4,3,4).
+
+    Equivalent of legacy DecomposeEtoRandT (FindCameraMatrices.cpp:328-363)
+    including the det(R) = -1 sign flip (:416-421).
+    """
+    U, S, Vt = jnp.linalg.svd(E)
+    # keep proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    return jnp.stack([
+        camera.make_pose(R1, t),
+        camera.make_pose(R1, -t),
+        camera.make_pose(R2, t),
+        camera.make_pose(R2, -t),
+    ])
+
+
+def _cofactor(E: jnp.ndarray) -> jnp.ndarray:
+    """Cofactor matrix of a 3x3 (rows of cross products of E's rows)."""
+    r0, r1, r2 = E[0], E[1], E[2]
+    return jnp.stack([
+        jnp.cross(r1, r2),
+        jnp.cross(r2, r0),
+        jnp.cross(r0, r1),
+    ])
+
+
+def decompose_essential_horn90(E: jnp.ndarray) -> jnp.ndarray:
+    """Horn'90 closed-form decomposition -> 4 candidate poses (4,3,4).
+
+    Re-derivation of the legacy Eigen implementation
+    (FindCameraMatrices.cpp:51-111, eqs 12/19/24 of Horn 1990):
+    bb^T = 1/2 tr(EE^T) I - EE^T gives the baseline; the rotation is
+    R = (cof(E) - [b]x E) / (b.b); the twisted pair comes from -E.
+    Rotations are re-projected to SO(3) (polar via SVD) for noise
+    robustness. No SVD of E itself is required (cheap on TPU).
+    """
+    EEt = E @ E.T
+    M = 0.5 * jnp.trace(EEt) * jnp.eye(3, dtype=E.dtype) - EEt  # = b b^T
+    d = jnp.diag(M)
+    i = jnp.argmax(d)
+    b = M[i] / jnp.sqrt(jnp.maximum(d[i], _EPS))
+    btb = jnp.maximum(jnp.dot(b, b), _EPS)
+    cof = _cofactor(E)
+    B = skew(b)
+
+    def orthonormalize(R):
+        U, _, Vt = jnp.linalg.svd(R)
+        Rp = U @ Vt
+        return Rp * jnp.sign(jnp.linalg.det(Rp))
+
+    Ra = orthonormalize((cof - B @ E) / btb)    # from (E, b)
+    Rb = orthonormalize((cof + B @ E) / btb)    # from (-E, b): twisted pair
+    return jnp.stack([
+        camera.make_pose(Ra, b),
+        camera.make_pose(Ra, -b),
+        camera.make_pose(Rb, b),
+        camera.make_pose(Rb, -b),
+    ])
+
+
+class TwoViewResult(NamedTuple):
+    Rt: jnp.ndarray            # (3,4) pose of view2 relative to view1
+    E: jnp.ndarray             # (3,3)
+    inliers: jnp.ndarray       # (N,) bool — epipolar+cheirality pruned matches
+    inlier_ratio: jnp.ndarray  # scalar — pose inliers / valid matches
+    ok: jnp.ndarray            # scalar bool
+
+
+def pick_pose_by_cheirality(candidates: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, mask: jnp.ndarray):
+    """Disambiguate the 4 candidate poses by triangulating all of them.
+
+    Batched equivalent of the legacy 4-candidate loop
+    (FindCameraMatrices.cpp:428-480): for each candidate, triangulate and
+    count points in front of both cameras; pick the argmax.
+    Returns (Rt (3,4), front_mask (N,) for the winner).
+    """
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+
+    def front(Rt):
+        xyz = tri.triangulate_dlt(P1, Rt, x1, x2)
+        z1 = xyz[:, 2]
+        z2 = camera.transform_points(Rt, xyz)[:, 2]
+        good = (z1 > 0) & (z2 > 0) & mask & jnp.all(jnp.isfinite(xyz), axis=1)
+        return good
+
+    fronts = jax.vmap(front)(candidates)           # (4, N)
+    counts = jnp.sum(fronts, axis=1)
+    best = jnp.argmax(counts)
+    return candidates[best], fronts[best]
+
+
+def find_camera_from_match(
+    key,
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    mask: jnp.ndarray,
+    K: jnp.ndarray,
+    Kinv: jnp.ndarray,
+    *,
+    threshold_px: float = 1.0,
+    hypotheses: int = 512,
+    use_horn: bool = False,
+) -> TwoViewResult:
+    """Full two-view relative-pose recovery from matched pixel coords.
+
+    Equivalent of SfMStereoUtilities::findCameraMatricesFromMatch
+    (SfMStereoUtilities.cpp:74-118): essential RANSAC + pose recovery +
+    match pruning by the surviving-inlier mask (:110-115). The pose-inlier
+    ratio output feeds the caller's >=0.5 gate (SfM.cpp:264-275,
+    POSE_INLIERS_MINIMAL_RATIO @ SfMCommon.h:53).
+    """
+    from tpusfm.ransac import ransac
+
+    x1 = camera.normalize_points(Kinv, uv1)
+    x2 = camera.normalize_points(Kinv, uv2)
+    f = 0.5 * (K[0, 0] + K[1, 1])
+    thr = threshold_px / f
+
+    def solver(p1, p2):
+        E = essential_8pt(p1, p2)
+        return E, jnp.all(jnp.isfinite(E))
+
+    def scorer(E, p1, p2):
+        return sampson_error(E, p1, p2)
+
+    def refit(E, w, p1, p2):
+        return essential_8pt(p1, p2, w)
+
+    E, epi_inl, _ = ransac(
+        key, (x1, x2), mask,
+        solver=solver, scorer=scorer, refit=refit,
+        sample_size=8, hypotheses=hypotheses, threshold=thr,
+    )
+    decompose = decompose_essential_horn90 if use_horn else decompose_essential_hz
+    candidates = decompose(E)
+    Rt, front = pick_pose_by_cheirality(candidates, x1, x2, epi_inl)
+    inliers = epi_inl & front
+    n_valid = jnp.maximum(jnp.sum(mask), 1)
+    ratio = jnp.sum(inliers) / n_valid
+    ok = jnp.isfinite(ratio) & (jnp.sum(inliers) >= 8)
+    return TwoViewResult(Rt=Rt, E=E, inliers=inliers, inlier_ratio=ratio, ok=ok)

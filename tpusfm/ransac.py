@@ -1,0 +1,100 @@
+"""Generic batched-hypothesis RANSAC.
+
+TPU-native replacement for every iterative cv::*RANSAC call in the
+reference (cv::findHomography @ SfMStereoUtilities.cpp:63,
+cv::findEssentialMat @ :97, cv::solvePnPRansac @ :216-228, and legacy
+GetFundamentalMat @ FindCameraMatrices.cpp:144-246): instead of a
+sequential hypothesize-and-verify loop, sample B minimal sets at once,
+solve all B models with one vmap, score all N points against all B models
+with one (B, N) residual evaluation, and argmax the masked inlier counts.
+Followed by a weighted least-squares refit on the winning inlier set
+(mirrors OpenCV's final refinement).
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _sample_indices(key, mask: jnp.ndarray, hypotheses: int, k: int) -> jnp.ndarray:
+    """(B, k) indices sampled without replacement from valid entries.
+
+    Gumbel-top-k over masked logits: invalid entries get -inf so they are
+    never picked (as long as >= k valid entries exist).
+    """
+    n = mask.shape[0]
+    g = jax.random.gumbel(key, (hypotheses, n))
+    logits = jnp.where(mask[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(logits, k)
+    return idx
+
+
+def ransac(
+    key,
+    data: Tuple[jnp.ndarray, ...],
+    mask: jnp.ndarray,
+    *,
+    solver: Callable,       # (*minimal_data) -> (model, ok)
+    scorer: Callable,       # (model, *data) -> residuals (N,)
+    sample_size: int,
+    hypotheses: int,
+    threshold: float,
+    refit: Callable | None = None,  # (model, inlier_w, *data) -> model
+):
+    """Batched-hypothesis RANSAC.
+
+    data: tuple of (N, ...) arrays (e.g. (x1, x2) correspondences).
+    mask: (N,) bool validity of each datum (padded inputs).
+    Returns (model, inlier_mask (N,), inlier_count).
+    """
+    idx = _sample_indices(key, mask, hypotheses, sample_size)  # (B, k)
+    minimal = tuple(d[idx] for d in data)  # each (B, k, ...)
+    models, ok = jax.vmap(solver)(*minimal)  # pytree (B, ...), (B,)
+
+    resid = jax.vmap(lambda m: scorer(m, *data))(models)  # (B, N)
+    resid = jnp.where(jnp.isfinite(resid), resid, jnp.inf)
+    inl = (resid < threshold) & mask[None, :]  # (B, N)
+    counts = jnp.sum(inl, axis=1)
+    counts = jnp.where(ok, counts, -1)
+    best = jnp.argmax(counts)
+
+    model = jax.tree.map(lambda m: m[best], models)
+    inlier_mask = inl[best]
+    if refit is not None:
+        # Locally-optimized refinement (LO-RANSAC, Chum et al.): minimal
+        # models amplify noise, so their consensus sets are biased. Refit
+        # on inliers gathered at an annealed (shrinking) threshold, then
+        # keep whichever model maximizes inliers at the true threshold.
+        def one_round(state, mult):
+            model, inlier_mask = state
+            w = ((scorer(model, *data) < threshold * mult) & mask).astype(jnp.float32)
+            cand = refit(model, w, *data)
+            r2 = scorer(cand, *data)
+            r2 = jnp.where(jnp.isfinite(r2), r2, jnp.inf)
+            inl2 = (r2 < threshold) & mask
+            better = jnp.sum(inl2) >= jnp.sum(inlier_mask)
+            model = jax.tree.map(lambda a, b: jnp.where(better, a, b), cand, model)
+            inlier_mask = jnp.where(better, inl2, inlier_mask)
+            return (model, inlier_mask)
+
+        for mult in (4.0, 2.0, 1.0):
+            model, inlier_mask = one_round((model, inlier_mask), mult)
+    return model, inlier_mask, jnp.sum(inlier_mask)
+
+
+def adaptive_num_hypotheses(inlier_ratio: float, sample_size: int, confidence: float = 0.999) -> int:
+    """Classic RANSAC iteration bound N = log(1-p)/log(1-w^k).
+
+    Host-side helper to choose the static hypothesis budget so the batched
+    formulation meets the reference's confidence settings
+    (prob 0.999 @ SfMStereoUtilities.cpp:97, 0.99 @ :226).
+    """
+    import math
+
+    w = max(min(inlier_ratio, 0.999), 1e-3)
+    denom = math.log(max(1e-12, 1.0 - w ** sample_size))
+    if denom >= 0:
+        return 1
+    return max(1, int(math.ceil(math.log(1.0 - confidence) / denom)))
