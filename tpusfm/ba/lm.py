@@ -1,0 +1,298 @@
+"""Levenberg-Marquardt bundle adjustment with dense Schur complement.
+
+Problem layout (all static shapes, masked):
+  cameras:  (V, 6) angle-axis + translation       [reference: 6-param camera,
+                                                   SfMBundleAdjustmentUtils.cpp:111-135]
+  points:   (N, 3)
+  focal:    scalar, shared across cameras          [.cpp:138,164]
+  observations: dense (N, V) grid — uv[n, v] is where view v sees point n,
+    mask[n, v] marks real observations. This grid IS the framework's
+    track-graph layout (types.PointCloud.obs), so BA consumes the
+    reconstruction state with zero repacking.
+
+The normal equations have the classic SfM arrowhead structure; we eliminate
+the 3x3 point blocks in closed form (adjugate inverse) and solve the reduced
+(6V+1) camera+focal system densely — the exact DENSE_SCHUR strategy Ceres
+uses for the reference (SfMBundleAdjustmentUtils.cpp:172), but built from
+three einsums instead of sparse bookkeeping, so XLA maps it onto the MXU.
+The LM loop is a lax.while_loop with Ceres-style multiplicative damping and
+accept/reject steps; a Jacobi (symmetric diagonal) rescale of the reduced
+system keeps the solve well-conditioned in float32 (Ceres runs float64; see
+SURVEY.md §7 "hard parts").
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpusfm import camera
+
+_EPS = 1e-12
+
+
+class BAProblem(NamedTuple):
+    cams: jnp.ndarray       # (V, 6) angle-axis (3) + translation (3)
+    points: jnp.ndarray     # (N, 3)
+    focal: jnp.ndarray      # scalar
+    uv: jnp.ndarray         # (N, V, 2) pixel coords with principal point subtracted
+    mask: jnp.ndarray       # (N, V) bool observation grid
+    cam_valid: jnp.ndarray  # (V,) bool registered cameras
+    pt_valid: jnp.ndarray   # (N,) bool live map points
+
+
+class BASummary(NamedTuple):
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _residual_one(cam: jnp.ndarray, X: jnp.ndarray, focal: jnp.ndarray, uv: jnp.ndarray):
+    """The reference BA residual (SfMBundleAdjustmentUtils.cpp:58-97):
+    angle-axis rotate, translate, perspective divide, scale by shared focal;
+    principal point already subtracted from uv."""
+    p = camera.rotate_angle_axis(cam[:3], X) + cam[3:]
+    z = p[2]
+    zsafe = jnp.where(jnp.abs(z) < 1e-8, jnp.where(z < 0, -1e-8, 1e-8), z)
+    proj = p[:2] / zsafe * focal
+    return proj - uv
+
+
+def _residuals_and_jacobians(prob: BAProblem):
+    """Dense-grid residuals + Jacobians, masked.
+
+    Returns r (N,V,2), Jc (N,V,2,6), Jp (N,V,2,3), Jf (N,V,2), w (N,V).
+    """
+
+    def one(cam, X, uv):
+        f = lambda c, x, fo: _residual_one(c, x, fo, uv)
+        r = f(cam, X, prob.focal)
+        Jc, Jp, Jf = jax.jacfwd(f, argnums=(0, 1, 2))(cam, X, prob.focal)
+        return r, Jc, Jp, Jf
+
+    over_v = jax.vmap(one, in_axes=(0, None, 0))        # over views
+    over_n = jax.vmap(over_v, in_axes=(None, 0, 0))     # over points
+    r, Jc, Jp, Jf = over_n(prob.cams, prob.points, prob.uv)
+    w = (prob.mask & prob.pt_valid[:, None] & prob.cam_valid[None, :]).astype(r.dtype)
+    return r, Jc, Jp, Jf, w
+
+
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse via adjugate (no LU on tiny blocks)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < _EPS, _EPS, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], -1),
+            jnp.stack([A21, A22, A23], -1),
+            jnp.stack([A31, A32, A33], -1),
+        ],
+        -2,
+    )
+    return adj / det[..., None, None]
+
+
+def _cost_only(cams, points, focal, prob: BAProblem) -> jnp.ndarray:
+    def one(cam, X, uv):
+        return _residual_one(cam, X, focal, uv)
+
+    r = jax.vmap(jax.vmap(one, in_axes=(0, None, 0)), in_axes=(None, 0, 0))(
+        cams, points, prob.uv
+    )
+    w = (prob.mask & prob.pt_valid[:, None] & prob.cam_valid[None, :]).astype(r.dtype)
+    return 0.5 * jnp.sum(w[..., None] * r * r)
+
+
+def _lm_step(prob: BAProblem, lam: jnp.ndarray, share_focal: bool):
+    """One damped normal-equation solve. Returns (d_cams, d_points, d_focal)."""
+    r, Jc, Jp, Jf, w = _residuals_and_jacobians(prob)
+    V = prob.cams.shape[0]
+
+    wJc = Jc * w[..., None, None]
+    wJp = Jp * w[..., None, None]
+    wJf = Jf * w[..., None]
+
+    # Camera (+focal) blocks of H and g
+    U = jnp.einsum("nvia,nvib->vab", wJc, Jc)          # (V,6,6)
+    U_cf = jnp.einsum("nvia,nvi->va", wJc, Jf)          # (V,6)
+    U_ff = jnp.sum(wJf * Jf)
+    b_c = jnp.einsum("nvia,nvi->va", wJc, r)            # (V,6)
+    b_f = jnp.sum(wJf * r)
+
+    # Point blocks
+    C = jnp.einsum("nvia,nvib->nab", wJp, Jp)           # (N,3,3)
+    b_p = jnp.einsum("nvia,nvi->na", wJp, r)            # (N,3)
+
+    # Camera-point and focal-point couplings
+    Kb = jnp.einsum("nvia,nvib->nvab", wJc, Jp)         # (N,V,6,3)
+    Wf = jnp.einsum("nvi,nvia->na", wJf, Jp)            # (N,3)
+
+    # Ceres-style multiplicative damping on the diagonals
+    eye6 = jnp.eye(6, dtype=U.dtype)
+    eye3 = jnp.eye(3, dtype=C.dtype)
+    Ud = U + lam * (U * eye6) + 1e-8 * eye6
+    Cd = C + lam * (C * eye3) + 1e-8 * eye3
+    Uffd = U_ff * (1.0 + lam) + 1e-8
+
+    Cinv = _inv3x3(Cd)
+
+    # Schur complement of the point blocks
+    KC = jnp.einsum("nvab,nbc->nvac", Kb, Cinv)         # (N,V,6,3)
+    S_cc = -jnp.einsum("nvac,nwbc->vawb", KC, Kb)       # (V,6,V,6) cross terms
+    S_cc = S_cc.at[jnp.arange(V), :, jnp.arange(V), :].add(Ud)
+    S_cf = U_cf - jnp.einsum("nvac,nc->va", KC, Wf)     # (V,6)
+    WfC = jnp.einsum("na,nab->nb", Wf, Cinv)            # (N,3)
+    S_ff = Uffd - jnp.sum(WfC * Wf)
+    rhs_c = b_c - jnp.einsum("nvac,nc->va", KC, b_p)
+    rhs_f = b_f - jnp.sum(WfC * b_p)
+
+    # Assemble the reduced (6V+1) system; mask unregistered cameras to identity
+    n = 6 * V + 1
+    S = jnp.zeros((n, n), U.dtype)
+    S = S.at[: 6 * V, : 6 * V].set(S_cc.reshape(6 * V, 6 * V))
+    S = S.at[: 6 * V, 6 * V].set(S_cf.reshape(-1))
+    S = S.at[6 * V, : 6 * V].set(S_cf.reshape(-1))
+    S = S.at[6 * V, 6 * V].set(S_ff if share_focal else 1.0)
+    rhs = jnp.concatenate([rhs_c.reshape(-1), rhs_f.reshape(1) if share_focal else jnp.zeros((1,), U.dtype)])
+
+    cam_free = jnp.repeat(prob.cam_valid, 6)
+    free = jnp.concatenate([cam_free, jnp.array([bool(share_focal)])]).astype(U.dtype)
+    S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+    rhs = rhs * free
+
+    # Jacobi rescale for f32 conditioning, then dense solve
+    dscale = 1.0 / jnp.sqrt(jnp.clip(jnp.diag(S), 1e-12, None))
+    Ss = S * dscale[:, None] * dscale[None, :]
+    ys = jnp.linalg.solve(Ss, rhs * dscale)
+    delta = ys * dscale
+    delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+
+    d_cams = delta[: 6 * V].reshape(V, 6)
+    d_focal = delta[6 * V]
+
+    # Back-substitute the point updates
+    Kd = jnp.einsum("nvab,va->nb", Kb, d_cams)          # (N,3)
+    d_points = jnp.einsum("nab,nb->na", Cinv, b_p - Kd - Wf * d_focal)
+    d_points = jnp.where(prob.pt_valid[:, None], d_points, 0.0)
+    d_points = jnp.where(jnp.isfinite(d_points), d_points, 0.0)
+    return d_cams, d_points, d_focal
+
+
+def lm_solve(
+    prob: BAProblem,
+    *,
+    max_iterations: int = 50,
+    function_tolerance: float = 1e-6,
+    initial_lambda: float = 1e-3,
+    share_focal: bool = True,
+):
+    """Levenberg-Marquardt driver (jit-friendly lax.while_loop).
+
+    Accept/reject semantics mirror a trust-region LM: a step that lowers the
+    cost is accepted and lambda shrinks; otherwise lambda grows and the step
+    retries. Convergence = relative cost decrease below function_tolerance
+    (Ceres function_tolerance role, SfMBundleAdjustmentUtils.cpp:174).
+    """
+    cost0 = _cost_only(prob.cams, prob.points, prob.focal, prob)
+
+    def cond(state):
+        it, _, _, _, done = state
+        return (it < max_iterations) & ~done
+
+    def body(state):
+        it, p, lam, cost, done = state
+        d_cams, d_points, d_focal = _lm_step(p, lam, share_focal)
+        new_cams = p.cams - d_cams
+        new_points = p.points - d_points
+        new_focal = p.focal - d_focal
+        new_cost = _cost_only(new_cams, new_points, new_focal, p)
+        accept = (new_cost < cost) & jnp.isfinite(new_cost)
+        p2 = p._replace(
+            cams=jnp.where(accept, new_cams, p.cams),
+            points=jnp.where(accept, new_points, p.points),
+            focal=jnp.where(accept, new_focal, p.focal),
+        )
+        lam2 = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10), jnp.minimum(lam * 4.0, 1e8))
+        rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, _EPS)
+        done2 = accept & (rel < function_tolerance)
+        cost2 = jnp.where(accept, new_cost, cost)
+        return (it + 1, p2, lam2, cost2, done2)
+
+    it, pf, lam, costf, done = jax.lax.while_loop(
+        cond, body, (jnp.array(0), prob, jnp.array(initial_lambda, prob.cams.dtype), cost0, jnp.array(False))
+    )
+    return pf, BASummary(initial_cost=cost0, final_cost=costf, iterations=it, converged=done)
+
+
+def reprojection_rms(prob: BAProblem) -> jnp.ndarray:
+    """Root-mean-square reprojection error (pixels) over valid observations."""
+
+    def one(cam, X, uv):
+        return _residual_one(cam, X, prob.focal, uv)
+
+    r = jax.vmap(jax.vmap(one, in_axes=(0, None, 0)), in_axes=(None, 0, 0))(
+        prob.cams, prob.points, prob.uv
+    )
+    w = (prob.mask & prob.pt_valid[:, None] & prob.cam_valid[None, :]).astype(r.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    return jnp.sqrt(jnp.sum(w * jnp.sum(r * r, -1)) / n)
+
+
+def adjust_bundle(
+    poses_Rt: jnp.ndarray,       # (V, 3, 4)
+    cam_valid: jnp.ndarray,      # (V,)
+    points: jnp.ndarray,         # (N, 3)
+    pt_valid: jnp.ndarray,       # (N,)
+    uv: jnp.ndarray,             # (N, V, 2) raw pixel observations
+    obs_mask: jnp.ndarray,       # (N, V)
+    K: jnp.ndarray,              # (3, 3)
+    *,
+    max_iterations: int = 50,
+    function_tolerance: float = 1e-6,
+    share_focal: bool = True,
+):
+    """High-level BA matching the reference adjustBundle API
+    (SfMBundleAdjustmentUtils.h:35-50): takes poses + cloud + observations
+    + intrinsics, returns optimized (poses, points, K, summary).
+
+    Principal point is subtracted up front (reference :152-153); the shared
+    focal is optimized and written back to K (:188-189). Like the reference
+    (:182-185), the caller should discard results when converged is False.
+    """
+    V = poses_Rt.shape[0]
+    rvecs = camera.matrix_to_rodrigues_b(poses_Rt[:, :, :3].reshape(V, 3, 3))
+    cams = jnp.concatenate([rvecs, poses_Rt[:, :, 3]], axis=1)
+    pp = K[:2, 2]
+    prob = BAProblem(
+        cams=cams,
+        points=points,
+        focal=K[0, 0],
+        uv=uv - pp[None, None, :],
+        mask=obs_mask,
+        cam_valid=cam_valid,
+        pt_valid=pt_valid,
+    )
+    sol, summary = lm_solve(
+        prob,
+        max_iterations=max_iterations,
+        function_tolerance=function_tolerance,
+        share_focal=share_focal,
+    )
+    R = camera.rodrigues_to_matrix_b(sol.cams[:, :3])
+    out_Rt = jnp.concatenate([R, sol.cams[:, 3:, None]], axis=2)
+    newK = K.at[0, 0].set(sol.focal).at[1, 1].set(sol.focal)
+    return out_Rt, sol.points, newK, summary
