@@ -51,6 +51,10 @@ class SfMConfig:
     pose_inliers_minimal_ratio: float = 0.5   # POSE_INLIERS_MINIMAL_RATIO (SfMCommon.h:53)
     min_point_count_for_homography: int = 100 # MIN_POINT_COUNT_FOR_HOMOGRAPHY (SfM.cpp:52)
     decomposition: EssentialDecomposition = EssentialDecomposition.SVD_HZ
+    # global epipolar match-pruning pass before reconstruction — legacy
+    # PruneMatchesBasedOnF (MultiCameraPnP.cpp:463-485)
+    epipolar_prune: bool = True
+    epipolar_prune_threshold_px: float = 3.0
     triangulation_iters: int = 10             # Hartley-Sturm cap (Triangulation.h:52)
     triangulation_eps: float = 1e-4
     cheirality_min_frac: float = 0.75         # TestTriangulation gate (FindCameraMatrices.cpp:277-326)

@@ -138,6 +138,49 @@ def decompose_essential_horn90(E: jnp.ndarray) -> jnp.ndarray:
     ])
 
 
+def epipolar_inliers(
+    key,
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    mask: jnp.ndarray,
+    K: jnp.ndarray,
+    Kinv: jnp.ndarray,
+    *,
+    threshold_px: float = 3.0,
+    hypotheses: int = 256,
+) -> jnp.ndarray:
+    """Epipolar-consistency mask for one matched pair (no pose recovery).
+
+    TPU equivalent of the legacy global F-matrix match-pruning pass
+    (MultiCameraPnP::PruneMatchesBasedOnF, MultiCameraPnP.cpp:463-485,
+    GetFundamentalMat RANSAC @ FindCameraMatrices.cpp:144-246): estimate E
+    by batched-hypothesis RANSAC and keep only Sampson-consistent matches.
+    """
+    from tpusfm.ransac import ransac
+
+    x1 = camera.normalize_points(Kinv, uv1)
+    x2 = camera.normalize_points(Kinv, uv2)
+    f = 0.5 * (K[0, 0] + K[1, 1])
+    thr = threshold_px / f
+
+    def solver(p1, p2):
+        E = essential_8pt(p1, p2)
+        return E, jnp.all(jnp.isfinite(E))
+
+    def scorer(E, p1, p2):
+        return sampson_error(E, p1, p2)
+
+    def refit(E, w, p1, p2):
+        return essential_8pt(p1, p2, w)
+
+    _, inl, _ = ransac(
+        key, (x1, x2), mask,
+        solver=solver, scorer=scorer, refit=refit,
+        sample_size=8, hypotheses=hypotheses, threshold=thr,
+    )
+    return inl & mask
+
+
 class TwoViewResult(NamedTuple):
     Rt: jnp.ndarray            # (3,4) pose of view2 relative to view1
     E: jnp.ndarray             # (3,3)

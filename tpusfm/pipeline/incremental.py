@@ -1,0 +1,610 @@
+"""The incremental SfM state machine.
+
+Re-designs SfMToyLib/SfM.cpp's pipeline for TPU execution:
+
+  runSfM (SfM.cpp:63-95):
+    extractFeatures        -> one vmapped detector call over all views
+    createFeatureMatchMatrix (SfM.cpp:157-212, std::thread fan-out)
+                           -> chunked vmapped MXU matching over all pairs
+    findBaselineTriangulation (SfM.cpp:215-321)
+                           -> batched H-inlier ranking + two-view RANSAC
+    addMoreViewsToReconstruction (SfM.cpp:366-469)
+                           -> PnP RANSAC + pairwise triangulation per view
+    adjustCurrentBundle    -> LM/Schur BA after every registration
+    saveCloudAndCamerasToPLY (SfM.cpp:631-711) -> io/ply.py
+
+Device kernels all have static shapes (features F, matches M, PnP
+correspondences, BA point buckets) so each compiles once; the host keeps
+the track graph as flat numpy arrays (points x views observation table +
+per-view feature->point inverse maps) and never loops over descriptors.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusfm import camera
+from tpusfm.ba import adjust_bundle
+from tpusfm.config import SfMConfig
+from tpusfm.features import extract_features, match_all_pairs
+from tpusfm.geometry import (
+    find_camera_from_match,
+    find_camera_pose_2d3d,
+    find_homography_inliers,
+    triangulate_views,
+)
+from tpusfm.types import Features, Intrinsics, np_of
+
+_PNP_CAP = 4096
+_PAIR_CHUNK = 64
+
+
+def _next_pow2(n: int, floor: int = 1024) -> int:
+    c = floor
+    while c < n:
+        c *= 2
+    return c
+
+
+@dataclasses.dataclass
+class Reconstruction:
+    """Final reconstruction state (host numpy)."""
+
+    poses: np.ndarray          # (V, 3, 4)
+    pose_valid: np.ndarray     # (V,)
+    xyz: np.ndarray            # (N, 3)
+    rgb: np.ndarray            # (N, 3) uint8
+    obs: np.ndarray            # (N, V) int32 feature index, -1 sentinel
+    K: np.ndarray              # (3, 3)
+    mean_reprojection_error: float
+    stats: Dict
+
+    @property
+    def num_points(self) -> int:
+        return self.xyz.shape[0]
+
+    def save_ply(self, prefix: str):
+        from tpusfm.io import save_cameras_ply, save_point_cloud_ply
+
+        save_point_cloud_ply(prefix + "_points.ply", self.xyz, self.rgb)
+        scale = float(np.median(np.linalg.norm(self.xyz - np.median(self.xyz, 0), axis=1))) if len(self.xyz) else 1.0
+        save_cameras_ply(prefix + "_cameras.ply", self.poses, self.pose_valid, scale=max(scale * 0.2, 1e-3))
+
+
+class SfMPipeline:
+    """Host-side incremental SfM driver over jitted device kernels.
+
+    Mirrors the public surface of the reference ``SfM`` class (SfM.h:46-145):
+    construct, feed images, ``run()``, then export PLY via the returned
+    Reconstruction.
+    """
+
+    def __init__(self, images_gray: np.ndarray, config: Optional[SfMConfig] = None,
+                 images_rgb: Optional[np.ndarray] = None,
+                 intrinsics: Optional[Intrinsics] = None, seed: int = 0):
+        self.cfg = config or SfMConfig()
+        self.gray = np.asarray(images_gray, np.float32)
+        self.rgb = images_rgb
+        self.V, self.H, self.W = self.gray.shape
+        cfg = self.cfg
+        if intrinsics is not None:
+            self.intr = intrinsics
+        else:
+            # Reference hardcodes f=2500 at full res, pp = image center
+            # (SfM.cpp:70-74); scale focal with the downscale factor.
+            f = cfg.default_focal / max(cfg.downscale, 1e-6)
+            self.intr = Intrinsics.create(f, self.W / 2.0, self.H / 2.0)
+        self._key = jax.random.PRNGKey(seed)
+        self._timings: Dict[str, float] = {}
+        self._build_kernels()
+
+        # --- host track-graph state ---
+        cap = cfg.point_capacity
+        self.xyz = np.zeros((cap, 3), np.float32)
+        self.obs = np.full((cap, self.V), -1, np.int32)
+        self.n_points = 0
+        self.feat2point = np.full((self.V, cfg.max_features), -1, np.int32)
+        self.poses = np.zeros((self.V, 3, 4), np.float32)
+        self.pose_valid = np.zeros((self.V,), bool)
+        self.done_views: set = set()
+        self.good_views: set = set()
+        self.features: Optional[Features] = None
+        self.feat_xy: Optional[np.ndarray] = None
+        self.match_idx: Optional[np.ndarray] = None   # (P, M, 2)
+        self.match_valid: Optional[np.ndarray] = None  # (P, M)
+        self.pair_of: Dict[Tuple[int, int], int] = {}
+
+    # ------------------------------------------------------------------ #
+    # jitted kernels (compiled once per static shape)
+    # ------------------------------------------------------------------ #
+    def _build_kernels(self):
+        cfg = self.cfg
+
+        self._jit_extract = jax.jit(
+            functools.partial(
+                extract_features,
+                max_features=cfg.max_features,
+                desc_bits=cfg.desc_bits,
+                pyramid_levels=cfg.pyramid_levels,
+                pyramid_scale=cfg.pyramid_scale,
+                fast_threshold=cfg.fast_threshold / 255.0,
+            )
+        )
+        self._jit_match = jax.jit(
+            functools.partial(
+                match_all_pairs,
+                ratio=cfg.match_ratio,
+                cross_check=cfg.cross_check,
+                max_matches=cfg.max_matches,
+            )
+        )
+
+        def homography_counts(key, uv1, uv2, mask):
+            keys = jax.random.split(key, uv1.shape[0])
+
+            def one(k, a, b, m):
+                cnt, _, _ = find_homography_inliers(
+                    k, a, b, m,
+                    threshold_px=cfg.ransac_threshold_px,
+                    hypotheses=cfg.ransac_hypotheses // 2,
+                )
+                return cnt
+
+            return jax.vmap(one)(keys, uv1, uv2, mask)
+
+        self._jit_homography_counts = jax.jit(homography_counts)
+
+        from tpusfm.config import EssentialDecomposition
+
+        self._jit_two_view = jax.jit(
+            functools.partial(
+                find_camera_from_match,
+                threshold_px=cfg.essential_threshold_px,
+                hypotheses=cfg.ransac_hypotheses,
+                use_horn=cfg.decomposition == EssentialDecomposition.HORN90,
+            )
+        )
+
+        def triangulate(Rt1, Rt2, K, Kinv, uv1, uv2, mask):
+            return triangulate_views(
+                Rt1, Rt2, K, Kinv, uv1, uv2, mask,
+                max_reprojection_error=cfg.min_reprojection_error,
+                iterations=cfg.triangulation_iters,
+            )
+
+        self._jit_triangulate = jax.jit(triangulate)
+
+        from tpusfm.geometry.essential import epipolar_inliers
+
+        def prune_chunk(key, uv1, uv2, mask, K, Kinv):
+            keys = jax.random.split(key, uv1.shape[0])
+
+            def one(k, a, b, m):
+                return epipolar_inliers(
+                    k, a, b, m, K, Kinv,
+                    threshold_px=cfg.epipolar_prune_threshold_px,
+                    hypotheses=cfg.ransac_hypotheses // 2,
+                )
+
+            return jax.vmap(one)(keys, uv1, uv2, mask)
+
+        self._jit_prune = jax.jit(prune_chunk)
+
+        self._jit_pnp = jax.jit(
+            functools.partial(
+                find_camera_pose_2d3d,
+                threshold_px=cfg.pnp_threshold_px,
+                hypotheses=cfg.pnp_hypotheses,
+                min_inlier_ratio=cfg.pose_inliers_minimal_ratio,
+            )
+        )
+
+        self._jit_ba = jax.jit(
+            functools.partial(
+                adjust_bundle,
+                max_iterations=cfg.ba_max_iterations,
+                function_tolerance=cfg.ba_function_tolerance,
+                share_focal=cfg.ba_share_focal,
+            )
+        )
+
+    def _split_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _log(self, level: int, msg: str):
+        if level >= self.cfg.console_debug_level:
+            print(f"[tpusfm] {msg}", flush=True)
+
+    # ------------------------------------------------------------------ #
+    # pipeline stages
+    # ------------------------------------------------------------------ #
+    def extract(self):
+        t0 = time.perf_counter()
+        self.features = self._jit_extract(jnp.asarray(self.gray))
+        self.features.xy.block_until_ready()
+        self.feat_xy = np_of(self.features.xy)
+        self.feat_valid = np_of(self.features.valid)
+        self._timings["features_s"] = time.perf_counter() - t0
+        self._log(2, f"features: {int(self.feat_valid.sum())} keypoints over {self.V} views "
+                     f"in {self._timings['features_s']:.2f}s")
+
+    def match(self):
+        """All-pairs match matrix, chunked to a fixed batch for one compile.
+
+        Replaces the reference's thread fan-out (SfM.cpp:165-211)."""
+        t0 = time.perf_counter()
+        pairs = [(i, j) for i in range(self.V) for j in range(i + 1, self.V)]
+        self.pairs = pairs
+        self.pair_of = {p: n for n, p in enumerate(pairs)}
+        idx_chunks, valid_chunks = [], []
+        for s in range(0, len(pairs), _PAIR_CHUNK):
+            chunk = pairs[s : s + _PAIR_CHUNK]
+            pad = _PAIR_CHUNK - len(chunk)
+            arr = np.array(chunk + [(0, 1)] * pad, np.int32)
+            m = self._jit_match(self.features, jnp.asarray(arr))
+            idx_chunks.append(np_of(m.idx)[: len(chunk)])
+            valid_chunks.append(np_of(m.valid)[: len(chunk)])
+        self.match_idx = np.concatenate(idx_chunks, 0)
+        self.match_valid = np.concatenate(valid_chunks, 0)
+        self._timings["matching_s"] = time.perf_counter() - t0
+        counts = self.match_valid.sum(1)
+        self._log(2, f"matching: {len(pairs)} pairs, median {int(np.median(counts))} matches "
+                     f"in {self._timings['matching_s']:.2f}s")
+        if self.cfg.epipolar_prune:
+            self.prune_matches_epipolar()
+
+    def prune_matches_epipolar(self):
+        """Global epipolar match-pruning (legacy PruneMatchesBasedOnF,
+        MultiCameraPnP.cpp:463-485): re-filter every pair's matches by an
+        E-matrix RANSAC consensus, batched over pair chunks on device."""
+        t0 = time.perf_counter()
+        before = int(self.match_valid.sum())
+        for s in range(0, len(self.pairs), _PAIR_CHUNK):
+            chunk = self.pairs[s : s + _PAIR_CHUNK]
+            uv1 = np.zeros((_PAIR_CHUNK, self.cfg.max_matches, 2), np.float32)
+            uv2 = np.zeros_like(uv1)
+            msk = np.zeros((_PAIR_CHUNK, self.cfg.max_matches), bool)
+            for k, (i, j) in enumerate(chunk):
+                a, b, v, _ = self._pair_match_uv(i, j)
+                uv1[k], uv2[k], msk[k] = a, b, v
+            # only prune pairs with enough matches for the 8-pt solver
+            enough = msk.sum(1) >= 16
+            inl = np_of(self._jit_prune(
+                self._split_key(), jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(msk), self.intr.K, self.intr.Kinv))
+            for k in range(len(chunk)):
+                if enough[k]:
+                    self.match_valid[s + k] &= inl[k]
+        after = int(self.match_valid.sum())
+        self._timings["prune_s"] = time.perf_counter() - t0
+        self._log(2, f"epipolar prune: {before} -> {after} matches "
+                     f"in {self._timings['prune_s']:.2f}s")
+
+    def _pair_match_uv(self, i: int, j: int):
+        """Aligned (uv_i, uv_j, mask) for registered pair (i < j ordering)."""
+        a, b = (i, j) if i < j else (j, i)
+        p = self.pair_of[(a, b)]
+        idx = self.match_idx[p]
+        valid = self.match_valid[p]
+        li = np.maximum(idx[:, 0], 0)
+        ri = np.maximum(idx[:, 1], 0)
+        uv_a = self.feat_xy[a][li]
+        uv_b = self.feat_xy[b][ri]
+        if (a, b) == (i, j):
+            return uv_a, uv_b, valid, idx
+        return uv_b, uv_a, valid, idx[:, ::-1]
+
+    def sort_views_for_baseline(self) -> List[Tuple[float, Tuple[int, int]]]:
+        """Rank pairs by ascending homography-inlier ratio
+        (SfM::sortViewsForBaseline, SfM.cpp:333-364): low H-inlier ratio =
+        large baseline = good stereo pair; pairs with too few matches are
+        excluded (MIN_POINT_COUNT_FOR_HOMOGRAPHY=100, SfM.cpp:52)."""
+        counts = self.match_valid.sum(1)
+        eligible = [n for n, _ in enumerate(self.pairs)
+                    if counts[n] >= self.cfg.min_point_count_for_homography]
+        if not eligible:
+            # fall back to every non-empty pair, best-matched first
+            eligible = [n for n in np.argsort(-counts) if counts[n] >= 16]
+        if not eligible:
+            return []
+        uv1 = np.stack([self._pair_match_uv(*self.pairs[n])[0] for n in eligible])
+        uv2 = np.stack([self._pair_match_uv(*self.pairs[n])[1] for n in eligible])
+        msk = np.stack([self.match_valid[n] for n in eligible])
+        h_inl = np_of(self._jit_homography_counts(
+            self._split_key(), jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(msk)))
+        ratios = h_inl / np.maximum(counts[eligible], 1)
+        order = np.argsort(ratios, kind="stable")
+        ranked = [(float(ratios[k]), self.pairs[eligible[k]]) for k in order]
+        for r, p in ranked[:8]:
+            self._log(1, f"  baseline candidate {p}: H-inlier ratio {r:.3f}")
+        return ranked
+
+    def find_baseline_triangulation(self) -> bool:
+        """Seed the map from the best stereo pair (SfM.cpp:215-321)."""
+        t0 = time.perf_counter()
+        K, Kinv = self.intr.K, self.intr.Kinv
+        for ratio, (i, j) in self.sort_views_for_baseline():
+            uv1, uv2, valid, idx = self._pair_match_uv(i, j)
+            res = self._jit_two_view(
+                self._split_key(), jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(valid), K, Kinv)
+            pose_ratio = float(res.inlier_ratio)
+            if not bool(res.ok) or pose_ratio < self.cfg.pose_inliers_minimal_ratio:
+                self._log(2, f"baseline {i},{j}: pose inlier ratio {pose_ratio:.2f} < "
+                             f"{self.cfg.pose_inliers_minimal_ratio} — rejected (SfM.cpp:264-275)")
+                continue
+            Rt1 = np.concatenate([np.eye(3, dtype=np.float32), np.zeros((3, 1), np.float32)], 1)
+            Rt2 = np_of(res.Rt)
+            inl = np_of(res.inliers) & valid
+            xyz, keep, e1, e2 = self._jit_triangulate(
+                jnp.asarray(Rt1), jnp.asarray(Rt2), K, Kinv,
+                jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(inl))
+            keep = np_of(keep)
+            n_new = int(keep.sum())
+            if n_new < 16:
+                self._log(2, f"baseline {i},{j}: triangulation produced {n_new} points — rejected")
+                continue
+            self.poses[i] = Rt1
+            self.poses[j] = Rt2
+            self.pose_valid[[i, j]] = True
+            self.done_views |= {i, j}
+            self.good_views |= {i, j}
+            self._insert_points(np_of(xyz)[keep], i, idx[keep, 0], j, idx[keep, 1])
+            self._log(2, f"baseline {i},{j}: {n_new} seed points "
+                         f"(pose inliers {pose_ratio:.2f}, H-ratio {ratio:.3f})")
+            self.adjust_bundle()
+            self._timings["baseline_s"] = time.perf_counter() - t0
+            return True
+        self._timings["baseline_s"] = time.perf_counter() - t0
+        return False
+
+    # ------------------------------------------------------------------ #
+    # track graph bookkeeping (host)
+    # ------------------------------------------------------------------ #
+    def _insert_points(self, xyz: np.ndarray, vi: int, fi: np.ndarray, vj: int, fj: np.ndarray):
+        """Merge newly triangulated points into the map.
+
+        Equivalent of SfM::mergeNewPointCloud (SfM.cpp:530-629): a new
+        point whose feature in either view is already claimed by an
+        existing map point just adds its other observation to that point
+        (the reference's "matching feature" confirmation); otherwise it is
+        appended as a new point."""
+        pi = self.feat2point[vi, fi]
+        pj = self.feat2point[vj, fj]
+
+        # attach observations to existing points
+        known_i = pi >= 0
+        known_j = pj >= 0
+        attach_j = known_i & ~known_j           # point known via vi -> add vj obs
+        attach_i = known_j & ~known_i           # point known via vj -> add vi obs
+        self.obs[pi[attach_j], vj] = fj[attach_j]
+        self.feat2point[vj, fj[attach_j]] = pi[attach_j]
+        self.obs[pj[attach_i], vi] = fi[attach_i]
+        self.feat2point[vi, fi[attach_i]] = pj[attach_i]
+
+        # brand-new points
+        new = ~known_i & ~known_j
+        n_new = int(new.sum())
+        if n_new:
+            if self.n_points + n_new > self.xyz.shape[0]:
+                grow = max(self.xyz.shape[0], n_new)
+                self.xyz = np.concatenate([self.xyz, np.zeros((grow, 3), np.float32)])
+                self.obs = np.concatenate([self.obs, np.full((grow, self.V), -1, np.int32)])
+            sl = slice(self.n_points, self.n_points + n_new)
+            rows = np.arange(self.n_points, self.n_points + n_new)
+            self.xyz[sl] = xyz[new]
+            self.obs[rows, vi] = fi[new]
+            self.obs[rows, vj] = fj[new]
+            self.feat2point[vi, fi[new]] = rows
+            self.feat2point[vj, fj[new]] = rows
+            self.n_points += n_new
+        merged = int(attach_i.sum() + attach_j.sum())
+        self._log(1, f"  merge: {n_new} new points, {merged} merged observations")
+
+    def find_2d3d_matches(self, view: int):
+        """2D-3D correspondences for an unregistered view
+        (SfM::find2D3DMatches, SfM.cpp:471-528): scan this view's matches
+        against every good view; a match whose partner feature is claimed
+        by a map point yields (feature uv, point xyz)."""
+        point_of_feat = np.full((self.cfg.max_features,), -1, np.int64)
+        for g in sorted(self.good_views):
+            if g == view:
+                continue
+            a, b = (view, g) if view < g else (g, view)
+            p = self.pair_of[(a, b)]
+            idx = self.match_idx[p]
+            valid = self.match_valid[p]
+            if view < g:
+                f_view, f_g = idx[:, 0], idx[:, 1]
+            else:
+                f_view, f_g = idx[:, 1], idx[:, 0]
+            pts = self.feat2point[g, np.maximum(f_g, 0)]
+            sel = valid & (pts >= 0) & (f_view >= 0)
+            point_of_feat[f_view[sel]] = pts[sel]
+        feats = np.nonzero(point_of_feat >= 0)[0]
+        return feats, point_of_feat[feats]
+
+    # ------------------------------------------------------------------ #
+    # incremental registration
+    # ------------------------------------------------------------------ #
+    def add_more_views(self):
+        """Register remaining views one by one (SfM.cpp:366-469)."""
+        t0 = time.perf_counter()
+        K = self.intr.K
+        while len(self.done_views) < self.V:
+            candidates = {}
+            for v in range(self.V):
+                if v in self.done_views:
+                    continue
+                feats, pts = self.find_2d3d_matches(v)
+                candidates[v] = (feats, pts)
+            if not candidates:
+                break
+            view = max(candidates, key=lambda v: len(candidates[v][0]))
+            feats, pts = candidates[view]
+            self.done_views.add(view)
+            self._log(2, f"registering view {view} with {len(feats)} 2D-3D matches")
+            if len(feats) < 6:
+                self._log(3, f"view {view}: too few 2D-3D matches — skipped (SfM.cpp:398-403)")
+                continue
+
+            n = min(len(feats), _PNP_CAP)
+            X = np.zeros((_PNP_CAP, 3), np.float32)
+            uv = np.zeros((_PNP_CAP, 2), np.float32)
+            mask = np.zeros((_PNP_CAP,), bool)
+            X[:n] = self.xyz[pts[:n]]
+            uv[:n] = self.feat_xy[view][feats[:n]]
+            mask[:n] = True
+            res = self._jit_pnp(self._split_key(), jnp.asarray(X), jnp.asarray(uv),
+                                jnp.asarray(mask), K, self.intr.Kinv)
+            if not bool(res.ok):
+                self._log(3, f"view {view}: PnP inlier ratio {float(res.inlier_ratio):.2f} < "
+                             f"{self.cfg.pose_inliers_minimal_ratio} — skipped")
+                continue
+            self.poses[view] = np_of(res.Rt)
+            self.pose_valid[view] = True
+
+            # triangulate against every already-good view (SfM.cpp:413-461)
+            for g in sorted(self.good_views):
+                uv1, uv2, valid, idx = self._pair_match_uv(view, g)
+                if valid.sum() < 8:
+                    continue
+                two = self._jit_two_view(self._split_key(), jnp.asarray(uv1),
+                                         jnp.asarray(uv2), jnp.asarray(valid), K, self.intr.Kinv)
+                pruned = np_of(two.inliers) & valid
+                xyz, keep, e1, e2 = self._jit_triangulate(
+                    jnp.asarray(self.poses[view]), jnp.asarray(self.poses[g]),
+                    K, self.intr.Kinv, jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(pruned))
+                keep = np_of(keep)
+                if keep.sum():
+                    self._insert_points(np_of(xyz)[keep], view, idx[keep, 0], g, idx[keep, 1])
+            self.good_views.add(view)
+            self.adjust_bundle()
+        self._timings["add_views_s"] = time.perf_counter() - t0
+
+    # ------------------------------------------------------------------ #
+    # bundle adjustment
+    # ------------------------------------------------------------------ #
+    def adjust_bundle(self):
+        """Global BA over all registered cameras + live points
+        (SfM::adjustCurrentBundle, SfM.cpp:324-330). Point count is padded
+        to a power-of-two bucket so recompiles are logarithmic."""
+        if self.n_points == 0:
+            return
+        t0 = time.perf_counter()
+        cap = _next_pow2(self.n_points)
+        obs = np.full((cap, self.V), -1, np.int32)
+        obs[: self.n_points] = self.obs[: self.n_points]
+        xyz = np.zeros((cap, 3), np.float32)
+        xyz[: self.n_points] = self.xyz[: self.n_points]
+        pt_valid = np.zeros((cap,), bool)
+        pt_valid[: self.n_points] = True
+        uv = self.feat_xy[np.arange(self.V)[None, :], np.maximum(obs, 0)]  # (cap,V,2)
+        mask = obs >= 0
+
+        out_Rt, out_pts, outK, summary = self._jit_ba(
+            jnp.asarray(self.poses), jnp.asarray(self.pose_valid),
+            jnp.asarray(xyz), jnp.asarray(pt_valid),
+            jnp.asarray(uv), jnp.asarray(mask), self.intr.K)
+        improved = float(summary.final_cost) < float(summary.initial_cost)
+        if improved:
+            self.poses = np_of(out_Rt)
+            self.xyz[: self.n_points] = np_of(out_pts)[: self.n_points]
+            newK = np_of(outK)
+            self.intr = Intrinsics.create(float(newK[0, 0]), float(newK[0, 2]), float(newK[1, 2]))
+        dt = time.perf_counter() - t0
+        self._timings["ba_s"] = self._timings.get("ba_s", 0.0) + dt
+        self._timings["ba_iters"] = self._timings.get("ba_iters", 0) + int(summary.iterations)
+        self._log(2, f"BA: cost {float(summary.initial_cost):.1f} -> {float(summary.final_cost):.1f} "
+                     f"in {int(summary.iterations)} iters ({dt:.2f}s)"
+                     + ("" if improved else " — rejected (SfMBundleAdjustmentUtils.cpp:182-185)"))
+
+    # ------------------------------------------------------------------ #
+    # results
+    # ------------------------------------------------------------------ #
+    def mean_reprojection_error(self) -> float:
+        n = self.n_points
+        if n == 0:
+            return float("nan")
+        K = np_of(self.intr.K)
+        errs = []
+        for v in range(self.V):
+            if not self.pose_valid[v]:
+                continue
+            sel = self.obs[:n, v] >= 0
+            if not sel.any():
+                continue
+            pts = self.xyz[:n][sel]
+            uv = self.feat_xy[v][self.obs[:n, v][sel]]
+            proj = np_of(camera.project_points(jnp.asarray(self.poses[v]), jnp.asarray(K), jnp.asarray(pts)))
+            errs.append(np.linalg.norm(proj - uv, axis=1))
+        return float(np.mean(np.concatenate(errs))) if errs else float("nan")
+
+    def _point_colors(self) -> np.ndarray:
+        """RGB per point, averaged over originating views (legacy
+        GetRGBForPointCloud, MultiCameraDistance.cpp:157-188; the modern
+        lib samples only the first view, SfM.cpp:651-655)."""
+        n = self.n_points
+        out = np.full((n, 3), 255, np.uint8)
+        if self.rgb is None:
+            return out
+        acc = np.zeros((n, 3), np.float64)
+        cnt = np.zeros((n,), np.int64)
+        for v in range(self.V):
+            sel = self.obs[:n, v] >= 0
+            if not sel.any():
+                continue
+            uv = self.feat_xy[v][self.obs[:n, v][sel]]
+            x = np.clip(uv[:, 0].round().astype(int), 0, self.W - 1)
+            y = np.clip(uv[:, 1].round().astype(int), 0, self.H - 1)
+            acc[sel] += self.rgb[v][y, x]
+            cnt[sel] += 1
+        ok = cnt > 0
+        out[ok] = (acc[ok] / cnt[ok, None]).round().astype(np.uint8)
+        return out
+
+    def run(self) -> Reconstruction:
+        """Full pipeline (SfM::runSfM, SfM.cpp:63-95)."""
+        t0 = time.perf_counter()
+        self.extract()
+        self.match()
+        if not self.find_baseline_triangulation():
+            raise RuntimeError(
+                "no baseline pair could seed the reconstruction "
+                "(reference aborts the same way, MultiCameraPnP.cpp:144-147)")
+        self.add_more_views()
+        self._timings["total_s"] = time.perf_counter() - t0
+        err = self.mean_reprojection_error()
+        self._log(2, f"done: {self.n_points} points, {int(self.pose_valid.sum())}/{self.V} cameras, "
+                     f"mean reprojection error {err:.3f}px, {self._timings['total_s']:.2f}s")
+        return Reconstruction(
+            poses=self.poses.copy(),
+            pose_valid=self.pose_valid.copy(),
+            xyz=self.xyz[: self.n_points].copy(),
+            rgb=self._point_colors(),
+            obs=self.obs[: self.n_points].copy(),
+            K=np_of(self.intr.K),
+            mean_reprojection_error=err,
+            stats=dict(self._timings),
+        )
+
+
+def run_sfm(directory: str, config: Optional[SfMConfig] = None,
+            output_prefix: Optional[str] = None) -> Reconstruction:
+    """End-to-end convenience entry (main.cpp:71-78 equivalent)."""
+    from tpusfm.io import load_image_directory
+
+    cfg = config or SfMConfig()
+    imgs = load_image_directory(directory, cfg.downscale)
+    pipe = SfMPipeline(imgs.gray, cfg, images_rgb=imgs.rgb)
+    rec = pipe.run()
+    if output_prefix:
+        rec.save_ply(output_prefix)
+    return rec

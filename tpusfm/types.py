@@ -174,5 +174,9 @@ class Poses:
 
 
 def np_of(x: Any) -> np.ndarray:
-    """Device array → host numpy (single sync point for host bookkeeping)."""
-    return np.asarray(jax.device_get(x))
+    """Device array → host numpy (single sync point for host bookkeeping).
+
+    Always returns a writable copy: device_get may hand back a read-only
+    view backed by device buffer memory.
+    """
+    return np.array(jax.device_get(x))
