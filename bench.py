@@ -1,0 +1,70 @@
+"""Benchmark harness: full crazyhorse reconstruction on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: end-to-end frames/s of a full incremental SfM
+reconstruction of the reference's bundled crazyhorse dataset
+(7 x 1024x768 JPG, reference default settings: full resolution,
+f=2500 intrinsics). The baseline is the reference pipeline reenacted
+with its exact OpenCV calls + a scipy sparse-Jacobian BA proxy for
+Ceres (benchmarks/reference_cv2.py), measured on this host's CPU and
+cached in benchmarks/baseline_cache.json.
+
+The timed run is the second (warm) run: compiled XLA kernels are
+reusable across reconstructions, which is the deployment model
+(compile once, reconstruct many sequences). Cold-run time is reported
+on stderr for transparency.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+DATASET = "/root/reference/dataset/crazyhorse"
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpusfm_jit_cache")
+
+    from benchmarks.reference_cv2 import measure_reference_baseline
+    from tpusfm import SfMConfig
+    from tpusfm.io import load_image_directory
+    from tpusfm.pipeline import SfMPipeline
+
+    baseline = measure_reference_baseline(DATASET, downscale=1.0)
+    base_fps = baseline["frames_per_s"]
+
+    cfg = SfMConfig(downscale=1.0, console_debug_level=5)
+    imgs = load_image_directory(DATASET, cfg.downscale)
+    pipe = SfMPipeline(imgs.gray, cfg, images_rgb=imgs.rgb)
+
+    t0 = time.perf_counter()
+    rec_cold = pipe.run()
+    cold_s = time.perf_counter() - t0
+
+    pipe.reset()
+    t0 = time.perf_counter()
+    rec = pipe.run()
+    warm_s = time.perf_counter() - t0
+
+    fps = imgs.num_views / warm_s
+    print(
+        f"# cold {cold_s:.2f}s warm {warm_s:.2f}s | "
+        f"{rec.num_points} pts {int(rec.pose_valid.sum())}/{imgs.num_views} cams "
+        f"reproj {rec.mean_reprojection_error:.3f}px | baseline {base_fps:.3f} fps "
+        f"(cv2 reenactment, {baseline['total_s']:.2f}s)",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "crazyhorse_e2e_frames_per_s",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / base_fps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

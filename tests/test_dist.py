@@ -1,0 +1,90 @@
+"""Distributed-path tests on the virtual 8-device CPU mesh.
+
+Validates that the sharded kernels produce results identical (bitwise or
+near) to their single-device counterparts — the determinism requirement
+of SURVEY.md §7 ("distributed BA correctness").
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests import fixtures
+from tpusfm import camera
+from tpusfm.ba import BAProblem, lm_solve
+from tpusfm.dist import adjust_bundle_sharded, make_mesh, match_all_pairs_sharded
+from tpusfm.features import extract_features, match_all_pairs
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def _ba_inputs(n_pts=64, seed=0):
+    intr = fixtures.intrinsics()
+    pts = fixtures.dense_points(n_pts, seed=3)
+    poses = [
+        fixtures.mock_pose((5.0, 5.0, 5.0), (-1.0, 0.0, 1.0)),
+        fixtures.mock_pose((-5.0, 0.0, 5.0), (1.0, 0.0, 0.8)),
+        fixtures.mock_pose((0.0, -6.0, 2.0), (0.0, 0.5, 1.2)),
+        fixtures.mock_pose((2.0, 3.0, -4.0), (-0.5, -0.3, 0.9)),
+    ]
+    V = len(poses)
+    uv = jnp.stack([fixtures.project(p, pts, intr) for p in poses], axis=1)
+    rng = np.random.default_rng(seed)
+    Rt = jnp.stack(poses)
+    noisy_Rt = Rt + 0.01 * jnp.asarray(rng.standard_normal(Rt.shape), jnp.float32)
+    noisy_pts = pts + 0.05 * jnp.asarray(rng.standard_normal(pts.shape), jnp.float32)
+    return noisy_Rt, noisy_pts, uv, intr, V, n_pts
+
+
+def test_sharded_ba_matches_single_device(mesh):
+    noisy_Rt, noisy_pts, uv, intr, V, n = _ba_inputs()
+    cam_valid = jnp.ones((V,), bool)
+    pt_valid = jnp.ones((n,), bool)
+    mask = jnp.ones((n, V), bool)
+
+    from tpusfm.ba import adjust_bundle
+
+    Rt1, pts1, K1, s1 = adjust_bundle(
+        noisy_Rt, cam_valid, noisy_pts, pt_valid, uv, mask, intr.K, max_iterations=25)
+    Rt8, pts8, K8, s8 = adjust_bundle_sharded(
+        mesh, noisy_Rt, cam_valid, noisy_pts, pt_valid, uv, mask, intr.K, max_iterations=25)
+
+    # both must fully converge to the (same) minimum
+    assert float(s1.final_cost) < 1e-2
+    assert float(s8.final_cost) < 1e-2
+    np.testing.assert_allclose(np.asarray(Rt8), np.asarray(Rt1), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(K8[0, 0]), np.asarray(K1[0, 0]), rtol=1e-4)
+
+
+def test_sharded_matching_matches_single_device(mesh):
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (4, 96, 128)).astype(np.float32)
+    # smooth the noise so FAST finds structure
+    import scipy.ndimage as ndi
+
+    imgs = np.stack([ndi.gaussian_filter(im, 1.5) for im in imgs]).astype(np.float32)
+    feats = extract_features(jnp.asarray(imgs), max_features=256, pyramid_levels=1)
+    pairs = jnp.asarray([(i, j) for i in range(4) for j in range(i + 1, 4)]
+                        + [(0, 1), (0, 2)], dtype=jnp.int32)  # pad to 8
+    m1 = match_all_pairs(feats, pairs, max_matches=128)
+    m8 = match_all_pairs_sharded(mesh, feats, pairs, max_matches=128)
+    np.testing.assert_array_equal(np.asarray(m1.idx), np.asarray(m8.idx))
+    np.testing.assert_array_equal(np.asarray(m1.valid), np.asarray(m8.valid))
+
+
+def test_sharded_ba_deterministic(mesh):
+    noisy_Rt, noisy_pts, uv, intr, V, n = _ba_inputs()
+    cam_valid = jnp.ones((V,), bool)
+    pt_valid = jnp.ones((n,), bool)
+    mask = jnp.ones((n, V), bool)
+    out1 = adjust_bundle_sharded(mesh, noisy_Rt, cam_valid, noisy_pts, pt_valid,
+                                 uv, mask, intr.K, max_iterations=10)
+    out2 = adjust_bundle_sharded(mesh, noisy_Rt, cam_valid, noisy_pts, pt_valid,
+                                 uv, mask, intr.K, max_iterations=10)
+    np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
+    np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))

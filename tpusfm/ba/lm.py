@@ -106,7 +106,7 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return adj / det[..., None, None]
 
 
-def _cost_only(cams, points, focal, prob: BAProblem) -> jnp.ndarray:
+def _cost_only(cams, points, focal, prob: BAProblem, axis_name: str | None = None) -> jnp.ndarray:
     def one(cam, X, uv):
         return _residual_one(cam, X, focal, uv)
 
@@ -114,11 +114,22 @@ def _cost_only(cams, points, focal, prob: BAProblem) -> jnp.ndarray:
         cams, points, prob.uv
     )
     w = (prob.mask & prob.pt_valid[:, None] & prob.cam_valid[None, :]).astype(r.dtype)
-    return 0.5 * jnp.sum(w[..., None] * r * r)
+    c = 0.5 * jnp.sum(w[..., None] * r * r)
+    if axis_name is not None:
+        c = jax.lax.psum(c, axis_name)
+    return c
 
 
-def _lm_step(prob: BAProblem, lam: jnp.ndarray, share_focal: bool):
-    """One damped normal-equation solve. Returns (d_cams, d_points, d_focal)."""
+def _lm_step(prob: BAProblem, lam: jnp.ndarray, share_focal: bool, axis_name: str | None = None):
+    """One damped normal-equation solve. Returns (d_cams, d_points, d_focal).
+
+    With ``axis_name`` set (inside a shard_map whose shards split the point
+    axis N), this is the distributed Schur solve of SURVEY.md §2.3: every
+    device reduces its local observations into the (6V+1) camera+focal
+    system, a single psum over ICI forms the global reduced system, the
+    dense solve is replicated, and point back-substitution stays local —
+    no per-point communication at all.
+    """
     r, Jc, Jp, Jf, w = _residuals_and_jacobians(prob)
     V = prob.cams.shape[0]
 
@@ -141,6 +152,13 @@ def _lm_step(prob: BAProblem, lam: jnp.ndarray, share_focal: bool):
     Kb = jnp.einsum("nvia,nvib->nvab", wJc, Jp)         # (N,V,6,3)
     Wf = jnp.einsum("nvi,nvia->na", wJf, Jp)            # (N,3)
 
+    if axis_name is not None:
+        # Observation-sharded: camera-side reductions span all shards.
+        # (Point blocks C/b_p/Kb/Wf are local — each point lives wholly on
+        # one shard.) Damping and the Schur cross terms are linear in these
+        # per-shard sums, so a single fused psum here is exact.
+        U, U_cf, U_ff, b_c, b_f = jax.lax.psum((U, U_cf, U_ff, b_c, b_f), axis_name)
+
     # Ceres-style multiplicative damping on the diagonals
     eye6 = jnp.eye(6, dtype=U.dtype)
     eye3 = jnp.eye(3, dtype=C.dtype)
@@ -150,15 +168,26 @@ def _lm_step(prob: BAProblem, lam: jnp.ndarray, share_focal: bool):
 
     Cinv = _inv3x3(Cd)
 
-    # Schur complement of the point blocks
+    # Schur complement of the point blocks: cross terms are per-point sums,
+    # local to each shard; psum them before combining with the (already
+    # global) camera blocks.
     KC = jnp.einsum("nvab,nbc->nvac", Kb, Cinv)         # (N,V,6,3)
-    S_cc = -jnp.einsum("nvac,nwbc->vawb", KC, Kb)       # (V,6,V,6) cross terms
-    S_cc = S_cc.at[jnp.arange(V), :, jnp.arange(V), :].add(Ud)
-    S_cf = U_cf - jnp.einsum("nvac,nc->va", KC, Wf)     # (V,6)
+    X_cc = jnp.einsum("nvac,nwbc->vawb", KC, Kb)        # (V,6,V,6) cross terms
+    X_cf = jnp.einsum("nvac,nc->va", KC, Wf)            # (V,6)
     WfC = jnp.einsum("na,nab->nb", Wf, Cinv)            # (N,3)
-    S_ff = Uffd - jnp.sum(WfC * Wf)
-    rhs_c = b_c - jnp.einsum("nvac,nc->va", KC, b_p)
-    rhs_f = b_f - jnp.sum(WfC * b_p)
+    X_ff = jnp.sum(WfC * Wf)
+    X_c = jnp.einsum("nvac,nc->va", KC, b_p)
+    X_f = jnp.sum(WfC * b_p)
+    if axis_name is not None:
+        X_cc, X_cf, X_ff, X_c, X_f = jax.lax.psum(
+            (X_cc, X_cf, X_ff, X_c, X_f), axis_name
+        )
+    S_cc = -X_cc
+    S_cc = S_cc.at[jnp.arange(V), :, jnp.arange(V), :].add(Ud)
+    S_cf = U_cf - X_cf
+    S_ff = Uffd - X_ff
+    rhs_c = b_c - X_c
+    rhs_f = b_f - X_f
 
     # Assemble the reduced (6V+1) system; mask unregistered cameras to identity
     n = 6 * V + 1
@@ -199,6 +228,7 @@ def lm_solve(
     function_tolerance: float = 1e-6,
     initial_lambda: float = 1e-3,
     share_focal: bool = True,
+    axis_name: str | None = None,
 ):
     """Levenberg-Marquardt driver (jit-friendly lax.while_loop).
 
@@ -207,7 +237,7 @@ def lm_solve(
     retries. Convergence = relative cost decrease below function_tolerance
     (Ceres function_tolerance role, SfMBundleAdjustmentUtils.cpp:174).
     """
-    cost0 = _cost_only(prob.cams, prob.points, prob.focal, prob)
+    cost0 = _cost_only(prob.cams, prob.points, prob.focal, prob, axis_name)
 
     def cond(state):
         it, _, _, _, done = state
@@ -215,11 +245,11 @@ def lm_solve(
 
     def body(state):
         it, p, lam, cost, done = state
-        d_cams, d_points, d_focal = _lm_step(p, lam, share_focal)
+        d_cams, d_points, d_focal = _lm_step(p, lam, share_focal, axis_name)
         new_cams = p.cams - d_cams
         new_points = p.points - d_points
         new_focal = p.focal - d_focal
-        new_cost = _cost_only(new_cams, new_points, new_focal, p)
+        new_cost = _cost_only(new_cams, new_points, new_focal, p, axis_name)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
         p2 = p._replace(
             cams=jnp.where(accept, new_cams, p.cams),

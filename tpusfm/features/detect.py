@@ -89,10 +89,18 @@ def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 
 
 def fast_harris_response(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """FAST-9 corner mask scored by Harris response; -inf elsewhere.
+    """FAST-9 corner mask scored by Harris response; -inf elsewhere."""
+    resp, _ = fast_harris_maps(img, threshold)
+    return resp
+
+
+def fast_harris_maps(img: jnp.ndarray, threshold: float):
+    """(masked_response, dense_harris) maps.
 
     img: (H, W) float32 in [0, 1]; threshold on the same intensity scale
-    (the reference's FAST threshold is on 0..255 bytes).
+    (the reference's FAST threshold is on 0..255 bytes). masked_response
+    is the Harris score on FAST-9 corners and -inf elsewhere; dense_harris
+    is the unmasked Harris surface (for sub-pixel parabola fits).
     """
     center = img
     ring = jnp.stack(
@@ -121,7 +129,7 @@ def fast_harris_response(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     det = ixx * iyy - ixy * ixy
     tr = ixx + iyy
     harris = det - 0.04 * tr * tr
-    return jnp.where(is_corner, harris, -jnp.inf)
+    return jnp.where(is_corner, harris, -jnp.inf), harris
 
 
 def _nms3(resp: jnp.ndarray) -> jnp.ndarray:
@@ -164,29 +172,48 @@ def _bilinear(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _centroid_offsets(radius: int = 15):
-    """Integer offsets of the circular orientation patch (ORB's IC_Angle)."""
+def _moment_kernels(radius: int = 15):
+    """31x31 kernels k10(dy,dx)=dx and k01(dy,dx)=dy over the circular
+    orientation patch (ORB's IC_Angle moments as convolutions)."""
     dy, dx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
-    inside = dy * dy + dx * dx <= radius * radius
-    return (
-        np.asarray(dy[inside], np.int32),
-        np.asarray(dx[inside], np.int32),
-    )
+    inside = (dy * dy + dx * dx <= radius * radius).astype(np.float32)
+    # XLA convolution is cross-correlation (no kernel flip), so the kernels
+    # are the raw dx/dy ramps over the circular support
+    k10 = (dx * inside).astype(np.float32)
+    k01 = (dy * inside).astype(np.float32)
+    return k10, k01
 
 
-def _orientations(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid orientation (radians) at integer keypoint coords.
+def _orientation_maps(img: jnp.ndarray):
+    """Dense m10/m01 intensity-centroid moment maps (two 31x31 convs —
+    MXU-friendly, no per-keypoint patch gathers)."""
+    k10, k01 = _moment_kernels()
+    m10 = _conv2d(img, jnp.asarray(k10))
+    m01 = _conv2d(img, jnp.asarray(k01))
+    return m10, m01
 
-    ORB's IC_Angle: theta = atan2(m01, m10) over a circular patch.
+
+def _subpixel_offsets(resp: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    """Quadratic (parabolic) sub-pixel localization on the response map.
+
+    The reference inherits OpenCV ORB's integer keypoint grid; at full
+    resolution that integer error is the accuracy floor of every
+    downstream geometric gate, so we refine. Offsets are clamped to
+    +-0.5 px; keypoints on -inf plateaus (masked NMS neighbors) get 0.
     """
-    dy, dx = _centroid_offsets()
-    h, w = img.shape
-    py = jnp.clip(ys[:, None] + dy[None, :], 0, h - 1)
-    px = jnp.clip(xs[:, None] + dx[None, :], 0, w - 1)
-    patch = img[py, px]  # (K, P)
-    m01 = jnp.sum(patch * dy[None, :], axis=1)
-    m10 = jnp.sum(patch * dx[None, :], axis=1)
-    return jnp.arctan2(m01, m10)
+    h, w = resp.shape
+    y0 = jnp.clip(ys, 1, h - 2)
+    x0 = jnp.clip(xs, 1, w - 2)
+
+    def axis_offset(rm, r0, rp):
+        denom = rm - 2.0 * r0 + rp
+        off = 0.5 * (rm - rp) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        ok = jnp.isfinite(off) & jnp.isfinite(rm) & jnp.isfinite(rp) & (jnp.abs(denom) > 1e-12)
+        return jnp.clip(jnp.where(ok, off, 0.0), -0.5, 0.5)
+
+    dx = axis_offset(resp[y0, x0 - 1], resp[y0, x0], resp[y0, x0 + 1])
+    dy = axis_offset(resp[y0 - 1, x0], resp[y0, x0], resp[y0 + 1, x0])
+    return dy, dx
 
 
 def _brief_descriptors(
@@ -211,14 +238,19 @@ def _brief_descriptors(
 
 
 def _detect_level(img, threshold: float, k: int, margin: int):
-    """Top-k corners on one pyramid level. Returns (score, y, x) of length k."""
-    resp = fast_harris_response(img, threshold)
-    resp = _nms3(resp)
+    """Top-k corners on one pyramid level with sub-pixel localization.
+
+    Returns (score, y_float, x_float, y_int, x_int) of length k."""
+    masked, harris = fast_harris_maps(img, threshold)
+    resp = _nms3(masked)
     resp = jnp.where(_border_mask(img.shape, margin), resp, -jnp.inf)
     flat = resp.reshape(-1)
     score, idx = jax.lax.top_k(flat, k)
     w = img.shape[1]
-    return score, idx // w, idx % w
+    yi, xi = idx // w, idx % w
+    # sub-pixel parabola fit on the dense (unmasked) Harris surface
+    dy, dx = _subpixel_offsets(harris, yi, xi)
+    return score, yi.astype(jnp.float32) + dy, xi.astype(jnp.float32) + dx, yi, xi
 
 
 def extract_features_single(
@@ -252,12 +284,13 @@ def extract_features_single(
             lw = max(int(round(w / scale)), 2 * margin + 2)
             level_img = jax.image.resize(img, (lh, lw), "linear")
         smooth = _sep_conv2d(level_img, blur)
-        score, ly, lx = _detect_level(level_img, fast_threshold, per_level, margin)
-        ang = _orientations(smooth, ly, lx)
-        desc = _brief_descriptors(smooth, ly.astype(jnp.float32), lx.astype(jnp.float32), ang, desc_bits)
+        score, lyf, lxf, lyi, lxi = _detect_level(level_img, fast_threshold, per_level, margin)
+        m10, m01 = _orientation_maps(smooth)
+        ang = jnp.arctan2(m01[lyi, lxi], m10[lyi, lxi])
+        desc = _brief_descriptors(smooth, lyf, lxf, ang, desc_bits)
         scores.append(score)
-        ys_full.append(ly.astype(jnp.float32) * scale)
-        xs_full.append(lx.astype(jnp.float32) * scale)
+        ys_full.append(lyf * scale)
+        xs_full.append(lxf * scale)
         angs.append(ang)
         descs.append(desc)
 

@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 
 from tpusfm import camera
-from tpusfm.geometry.linalg import hartley_normalize_2d, skew, smallest_singular_vector
+from tpusfm.geometry.linalg import (
+    hartley_normalize_2d,
+    skew,
+    smallest_singular_vector_direct,
+)
 from tpusfm.geometry import triangulation as tri
 
 _EPS = 1e-12
@@ -48,7 +52,9 @@ def essential_8pt(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = None
     n1, T1 = hartley_normalize_2d(x1, w)
     n2, T2 = hartley_normalize_2d(x2, w)
     A = _epipolar_rows(n1, n2)
-    f = smallest_singular_vector(A, w)
+    # direct SVD, not Gram/eigh: in f32 the Gram path's squared conditioning
+    # costs ~half the significand — fatal at full-res pixel thresholds
+    f = smallest_singular_vector_direct(A, w)
     F = f.reshape(3, 3)
     F = T2.T @ F @ T1
     U, S, Vt = jnp.linalg.svd(F)

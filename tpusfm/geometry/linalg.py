@@ -31,6 +31,27 @@ def smallest_singular_vector(A: jnp.ndarray, w: jnp.ndarray | None = None) -> jn
     return V[:, 0]
 
 
+def smallest_singular_vector_direct(A: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Right singular vector for the smallest singular value, via SVD of A
+    itself (not the Gram matrix).
+
+    Costs more than the Gram/eigh path but does NOT square the condition
+    number — required in float32 when the inlier threshold sits near the
+    solver's noise floor (full-resolution essential estimation: a 1 px
+    gate at f=2500 is 4e-4 in normalized coordinates; see
+    SfMStereoUtilities.cpp:97 for the reference's gate).
+    """
+    if w is not None:
+        A = A * w[:, None]
+    n, d = A.shape
+    if n < d:
+        # thin SVD of a wide matrix spans only the row space and misses the
+        # nullspace vector; zero rows are inert and make Vt square (d x d)
+        A = jnp.concatenate([A, jnp.zeros((d - n, d), A.dtype)], axis=0)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+    return Vt[-1]
+
+
 def hartley_normalize_2d(pts: jnp.ndarray, w: jnp.ndarray | None = None):
     """Hartley-normalize 2D points: zero centroid, mean distance sqrt(2).
 

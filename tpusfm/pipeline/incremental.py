@@ -100,10 +100,17 @@ class SfMPipeline:
             # (SfM.cpp:70-74); scale focal with the downscale factor.
             f = cfg.default_focal / max(cfg.downscale, 1e-6)
             self.intr = Intrinsics.create(f, self.W / 2.0, self.H / 2.0)
-        self._key = jax.random.PRNGKey(seed)
-        self._timings: Dict[str, float] = {}
+        self._init_intr = self.intr
         self._build_kernels()
+        self.reset(seed)
 
+    def reset(self, seed: int = 0):
+        """Clear reconstruction state, keeping compiled kernels (so repeat
+        runs — e.g. benchmarking — pay no recompilation)."""
+        cfg = self.cfg
+        self.intr = self._init_intr
+        self._key = jax.random.PRNGKey(seed)
+        self._timings = {}
         # --- host track-graph state ---
         cap = cfg.point_capacity
         self.xyz = np.zeros((cap, 3), np.float32)
