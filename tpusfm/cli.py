@@ -1,0 +1,98 @@
+"""Command-line interface.
+
+Mirrors the reference CLI (main.cpp:40-79, boost::program_options):
+  --help, --console-debug <0-4>, --visual-debug <0-4>, --downscale <f>,
+  --output-prefix <p>, and a positional input directory; extended with the
+  TPU-native knobs (mesh size, feature/match capacities, BA settings).
+
+Usage:
+  python -m tpusfm.cli [options] <input-directory>
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpusfm",
+        description="TPU-native incremental Structure-from-Motion "
+                    "(capability parity with SfM-Toy-Library's main.cpp CLI)",
+    )
+    p.add_argument("input_directory", help="directory of images to reconstruct")
+    p.add_argument("--console-debug", type=int, default=2, metavar="LEVEL",
+                   help="console verbosity 0=TRACE..4=ERROR (main.cpp:45)")
+    p.add_argument("--visual-debug", type=int, default=4, metavar="LEVEL",
+                   help="visual debug-dump verbosity (main.cpp:46); writes "
+                        "match-overlay images instead of imshow windows")
+    p.add_argument("--downscale", type=float, default=1.0,
+                   help="image downscale factor (main.cpp:47)")
+    p.add_argument("--output-prefix", default="output",
+                   help="prefix for <prefix>_points.ply / <prefix>_cameras.ply "
+                        "(main.cpp:49)")
+    p.add_argument("--calibration", default=None,
+                   help="OpenCV-style calibration YAML "
+                        "(legacy MultiCameraDistance.cpp:78-89); default: "
+                        "f=2500 mock intrinsics (SfM.cpp:70-74)")
+    p.add_argument("--focal", type=float, default=None,
+                   help="override focal length in (full-res) pixels")
+    p.add_argument("--max-features", type=int, default=2048)
+    p.add_argument("--max-matches", type=int, default=1024)
+    p.add_argument("--matcher", choices=["rich", "of"], default="rich",
+                   help="matcher strategy (legacy IDistance.h:32-35): "
+                        "rich=detect+describe, of=optical-flow")
+    p.add_argument("--decomposition", choices=["svd", "horn"], default="svd",
+                   help="essential decomposition (FindCameraMatrices.cpp:45)")
+    p.add_argument("--no-ba-focal", action="store_true",
+                   help="fix the shared focal during BA")
+    p.add_argument("--pcd", action="store_true",
+                   help="also export a .pcd cloud (legacy Visualization.cpp:360)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from tpusfm import SfMConfig
+    from tpusfm.config import EssentialDecomposition, MatcherKind
+    from tpusfm.io import load_image_directory, load_calibration
+    from tpusfm.pipeline import SfMPipeline
+
+    cfg = SfMConfig(
+        downscale=args.downscale,
+        console_debug_level=args.console_debug,
+        visual_debug_level=args.visual_debug,
+        max_features=args.max_features,
+        max_matches=args.max_matches,
+        matcher=MatcherKind.OPTICAL_FLOW if args.matcher == "of" else MatcherKind.RICH,
+        decomposition=(EssentialDecomposition.HORN90 if args.decomposition == "horn"
+                       else EssentialDecomposition.SVD_HZ),
+        ba_share_focal=not args.no_ba_focal,
+    )
+    if args.focal is not None:
+        cfg.default_focal = args.focal
+
+    imgs = load_image_directory(args.input_directory, cfg.downscale)
+    intr = None
+    if args.calibration:
+        h, w = imgs.shape
+        intr = load_calibration(args.calibration, w, h, cfg.downscale)
+    pipe = SfMPipeline(imgs.gray, cfg, images_rgb=imgs.rgb,
+                       intrinsics=intr, seed=args.seed)
+    rec = pipe.run()
+    rec.save_ply(args.output_prefix)
+    if args.pcd:
+        from tpusfm.io import save_pcd
+
+        save_pcd(args.output_prefix + "_points.pcd", rec.xyz, rec.rgb)
+    print(f"saved {rec.num_points} points, "
+          f"{int(rec.pose_valid.sum())}/{len(rec.pose_valid)} cameras "
+          f"-> {args.output_prefix}_points.ply / _cameras.ply "
+          f"(mean reprojection error {rec.mean_reprojection_error:.3f}px)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
