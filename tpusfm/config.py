@@ -41,6 +41,7 @@ class SfMConfig:
     cross_check: bool = False         # legacy RichFeatureMatcher BFMatcher(crossCheck=true)
     max_matches: int = 1024           # static match capacity per pair
     matcher: MatcherKind = MatcherKind.RICH
+    use_pallas_matcher: bool = True   # fused streaming-top2 TPU kernel (features/pallas_match.py)
 
     # ---- two-view geometry (reference: SfMStereoUtilities.cpp:41-42) ----
     ransac_threshold_px: float = 10.0         # RANSAC_THRESHOLD

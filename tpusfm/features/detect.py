@@ -253,8 +253,67 @@ def _detect_level(img, threshold: float, k: int, margin: int):
     return score, yi.astype(jnp.float32) + dy, xi.astype(jnp.float32) + dx, yi, xi
 
 
-def extract_features_single(
-    img: jnp.ndarray,
+def _level_pipeline(imgs, *, threshold, per_level, margin, desc_bits, blur_sigma):
+    """Detect + orient + describe one pyramid level for all views.
+
+    imgs: (V, h, w). Returns per-view (score, x, y, ang, desc) arrays of
+    length per_level (level-local pixel coordinates).
+    """
+    blur = _gaussian_kernel1d(blur_sigma, 4)
+
+    def one(img):
+        smooth = _sep_conv2d(img, blur)
+        score, lyf, lxf, lyi, lxi = _detect_level(img, threshold, per_level, margin)
+        m10, m01 = _orientation_maps(smooth)
+        ang = jnp.arctan2(m01[lyi, lxi], m10[lyi, lxi])
+        desc = _brief_descriptors(smooth, lyf, lxf, ang, desc_bits)
+        return score, lxf, lyf, ang, desc
+
+    return jax.vmap(one)(imgs)
+
+
+@functools.lru_cache(maxsize=None)
+def _level_kernel(threshold: float, per_level: int, margin: int,
+                  desc_bits: int, blur_sigma: float):
+    """One jit-compiled program per pyramid level: compiling L small
+    programs is far cheaper than one giant L-level unrolled graph (the
+    monolithic version took minutes of XLA compile at full resolution)."""
+    return jax.jit(functools.partial(
+        _level_pipeline, threshold=threshold, per_level=per_level,
+        margin=margin, desc_bits=desc_bits, blur_sigma=blur_sigma))
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_kernel(h: int, w: int):
+    return jax.jit(lambda imgs: jax.vmap(
+        lambda im: jax.image.resize(im, (h, w), "linear"))(imgs))
+
+
+@functools.lru_cache(maxsize=None)
+def _merge_kernel(max_features: int):
+    @jax.jit
+    def merge(score, x, y, ang, desc):
+        """Global top-k across all levels' candidates (per view)."""
+
+        def one(s, xx, yy, aa, dd):
+            top_score, top_idx = jax.lax.top_k(s, max_features)
+            valid = jnp.isfinite(top_score)
+            xy = jnp.stack([xx[top_idx], yy[top_idx]], axis=1)
+            return Features(
+                xy=jnp.where(valid[:, None], xy, 0.0),
+                desc=jnp.where(valid[:, None], dd[top_idx], 0.0),
+                score=jnp.where(valid, top_score, 0.0),
+                angle=aa[top_idx],
+                valid=valid,
+            )
+
+        return jax.vmap(one)(score, x, y, ang, desc)
+
+    return merge
+
+
+def extract_features(
+    images: jnp.ndarray,
     *,
     max_features: int = 2048,
     desc_bits: int = 256,
@@ -264,64 +323,39 @@ def extract_features_single(
     blur_sigma: float = 2.0,
     margin: int = 24,
 ) -> Features:
-    """Detect + describe one grayscale image (H, W) float32 in [0, 1].
-
-    Returns a single-view Features (1, F, ...). Pyramid levels are unrolled
-    in Python (static shapes per level); candidates from all levels compete
-    in a final global top-k, mirroring ORB's retainment of the best N
-    (reference cap: 5000, SfM2DFeatureUtilities.cpp:39).
-    """
-    h, w = img.shape
-    blur = _gaussian_kernel1d(blur_sigma, 4)
-    per_level = max(max_features // max(pyramid_levels, 1), 256)
-
-    scores, xs_full, ys_full, angs, descs = [], [], [], [], []
-    level_img = img
-    for lvl in range(pyramid_levels):
-        scale = pyramid_scale**lvl
-        if lvl > 0:
-            lh = max(int(round(h / scale)), 2 * margin + 2)
-            lw = max(int(round(w / scale)), 2 * margin + 2)
-            level_img = jax.image.resize(img, (lh, lw), "linear")
-        smooth = _sep_conv2d(level_img, blur)
-        score, lyf, lxf, lyi, lxi = _detect_level(level_img, fast_threshold, per_level, margin)
-        m10, m01 = _orientation_maps(smooth)
-        ang = jnp.arctan2(m01[lyi, lxi], m10[lyi, lxi])
-        desc = _brief_descriptors(smooth, lyf, lxf, ang, desc_bits)
-        scores.append(score)
-        ys_full.append(lyf * scale)
-        xs_full.append(lxf * scale)
-        angs.append(ang)
-        descs.append(desc)
-
-    score = jnp.concatenate(scores)
-    yx = jnp.stack([jnp.concatenate(xs_full), jnp.concatenate(ys_full)], axis=1)
-    ang = jnp.concatenate(angs)
-    desc = jnp.concatenate(descs, axis=0)
-
-    top_score, top_idx = jax.lax.top_k(score, max_features)
-    valid = jnp.isfinite(top_score)
-    return Features(
-        xy=jnp.where(valid[:, None], yx[top_idx], 0.0)[None],
-        desc=jnp.where(valid[:, None], desc[top_idx], 0.0)[None],
-        score=jnp.where(valid, top_score, 0.0)[None],
-        angle=ang[top_idx][None],
-        valid=valid[None],
-    )
-
-
-def extract_features(images: jnp.ndarray, **kwargs) -> Features:
     """Batched detection over (V, H, W) grayscale images -> Features (V, F).
 
-    The per-view pipeline vmaps cleanly because every stage is dense and
-    static-shaped — the TPU equivalent of the reference's per-image loop
-    (SfM.cpp:141-154).
+    The TPU equivalent of the reference's per-image ORB loop
+    (SfM.cpp:141-154, cap 5000 @ SfM2DFeatureUtilities.cpp:39): each
+    pyramid level runs as its own jitted, view-vmapped program; candidates
+    from all levels compete in a final global top-k per view.
     """
+    images = jnp.asarray(images, jnp.float32)
+    v, h, w = images.shape
+    per_level = max(max_features // max(pyramid_levels, 1), 256)
+    level_fn = _level_kernel(float(fast_threshold), per_level, margin,
+                             desc_bits, float(blur_sigma))
 
-    def one(im):
-        f = extract_features_single(im, **kwargs)
-        return Features(
-            xy=f.xy[0], desc=f.desc[0], score=f.score[0], angle=f.angle[0], valid=f.valid[0]
-        )
+    scores, xs, ys, angs, descs = [], [], [], [], []
+    for lvl in range(pyramid_levels):
+        scale = pyramid_scale**lvl
+        if lvl == 0:
+            level_imgs = images
+        else:
+            lh = max(int(round(h / scale)), 2 * margin + 2)
+            lw = max(int(round(w / scale)), 2 * margin + 2)
+            level_imgs = _resize_kernel(lh, lw)(images)
+        s, lx, ly, a, d = level_fn(level_imgs)
+        scores.append(s)
+        xs.append(lx * scale)
+        ys.append(ly * scale)
+        angs.append(a)
+        descs.append(d)
 
-    return jax.vmap(one)(images)
+    cat = lambda t: jnp.concatenate(t, axis=1)
+    return _merge_kernel(max_features)(cat(scores), cat(xs), cat(ys), cat(angs), cat(descs))
+
+
+def extract_features_single(img: jnp.ndarray, **kwargs) -> Features:
+    """Single-image convenience wrapper -> Features (1, F, ...)."""
+    return extract_features(img[None], **kwargs)

@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: fused brute-force matcher with streaming top-2.
+
+The jnp matcher (features/match.py) materializes the full (F1, F2)
+distance matrix per pair before running top-k; at the reference's feature
+count (5000/image, SfM2DFeatureUtilities.cpp:39) that is 100 MB per pair
+and the HBM round-trip dominates. This kernel streams desc2 in tiles
+through VMEM, accumulates each row's best/second-best distance and best
+index directly in the (VMEM-resident) output blocks across grid steps,
+and never writes the distance matrix — arithmetic stays on the MXU and
+HBM traffic drops from O(F^2) to O(F*D).
+
+Grid: (P pairs, F2/TJ tiles). TPU grids execute sequentially per core and
+an output block whose index map is constant along a grid axis stays
+resident in VMEM across those steps — the standard accumulator pattern.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e9
+
+
+def _matcher_kernel(d1_ref, d2_ref, v2_ref, best_ref, second_ref, idx_ref,
+                    *, tj: int, bits: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[0, 0, :] = jnp.full((best_ref.shape[-1],), _BIG, jnp.float32)
+        second_ref[0, 0, :] = jnp.full((second_ref.shape[-1],), _BIG, jnp.float32)
+        idx_ref[0, 0, :] = jnp.zeros((idx_ref.shape[-1],), jnp.int32)
+
+    # (F1, TJ) Hamming distances via one MXU matmul on +-1 descriptors
+    # (desc2 arrives pre-transposed as (D, TJ): Mosaic wants plain (M,K)@(K,N);
+    # f32 operands — this Mosaic build rejects bf16 tpu.matmul)
+    dots = jnp.dot(d1_ref[0], d2_ref[0], preferred_element_type=jnp.float32)
+    dist = 0.5 * (bits - dots)
+    vtile = v2_ref[0, 0, pl.ds(j * tj, tj)]
+    dist = jnp.where(vtile[None, :] > 0.5, dist, _BIG)
+
+    # per-row top-2 within this tile
+    t1 = jnp.min(dist, axis=1)                                   # (F1,)
+    arg = jnp.argmin(dist, axis=1)                               # (F1,)
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    dist2 = jnp.where(cols == arg[:, None], _BIG, dist)
+    t2 = jnp.min(dist2, axis=1)                                  # (F1,)
+    tidx = (j * tj + arg).astype(jnp.int32)                      # (F1,)
+
+    # merge running (best, second, idx) with this tile's (t1, t2, tidx)
+    b = best_ref[0, 0, :]
+    s = second_ref[0, 0, :]
+    bi = idx_ref[0, 0, :]
+    best_ref[0, 0, :] = jnp.minimum(b, t1)
+    second_ref[0, 0, :] = jnp.minimum(jnp.maximum(b, t1), jnp.minimum(s, t2))
+    idx_ref[0, 0, :] = jnp.where(t1 < b, tidx, bi)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def match_topk2_pallas(desc1: jnp.ndarray, desc2: jnp.ndarray,
+                       valid2: jnp.ndarray, *, interpret: bool = False):
+    """Batched streaming top-2 matcher.
+
+    desc1, desc2: (P, F, D) +-1 descriptors; valid2: (P, F) bool.
+    Returns (best (P,F), second (P,F), best_idx (P,F) int32): the two
+    smallest Hamming distances from each desc1 row to desc2, and the
+    argmin. F must be a multiple of 256.
+    """
+    P, F1, D = desc1.shape
+    F2 = desc2.shape[1]
+    TJ = 256
+    TI = min(F1, 1024)   # tile the query axis too: VMEM holds ~3 MB/step
+    assert F2 % TJ == 0, f"F2={F2} must be a multiple of {TJ}"
+    assert F1 % TI == 0, f"F1={F1} must be a multiple of {TI}"
+
+    kernel = functools.partial(_matcher_kernel, tj=TJ, bits=D)
+    out = pl.pallas_call(
+        kernel,
+        grid=(P, F1 // TI, F2 // TJ),
+        in_specs=[
+            pl.BlockSpec((1, TI, D), lambda p, i, j: (p, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, TJ), lambda p, i, j: (p, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F2), lambda p, i, j: (p, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, TI), lambda p, i, j: (p, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TI), lambda p, i, j: (p, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TI), lambda p, i, j: (p, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, 1, F1), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1, F1), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1, F1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(desc1.astype(jnp.float32),
+      jnp.swapaxes(desc2.astype(jnp.float32), 1, 2),
+      valid2.astype(jnp.float32)[:, None, :])
+    return out[0][:, 0], out[1][:, 0], out[2][:, 0]
+
+
+def match_pairs_pallas(
+    features_desc: jnp.ndarray,   # (V, F, D)
+    features_valid: jnp.ndarray,  # (V, F)
+    pair_indices: jnp.ndarray,    # (P, 2)
+    *,
+    ratio: float = 0.8,
+    max_matches: int = 1024,
+    interpret: bool = False,
+):
+    """Full pair-matching stage on the Pallas kernel -> types.Matches.
+
+    Same acceptance semantics as features/match.py::match_pair (Lowe ratio
+    0.8, SfM2DFeatureUtilities.cpp:60-68), fixed match capacity.
+    """
+    from tpusfm.types import Matches
+
+    d1 = features_desc[pair_indices[:, 0]]
+    d2 = features_desc[pair_indices[:, 1]]
+    v1 = features_valid[pair_indices[:, 0]]
+    v2 = features_valid[pair_indices[:, 1]]
+    best, second, bidx = match_topk2_pallas(d1, d2, v2, interpret=interpret)
+
+    ok = (best < ratio * second) & (best < _BIG * 0.5) & v1
+    score = jnp.where(ok, -best, -jnp.inf)
+    sel_score, sel = jax.lax.top_k(score, max_matches)
+    sel_ok = jnp.isfinite(sel_score)
+    left = jnp.where(sel_ok, sel, -1).astype(jnp.int32)
+    right = jnp.where(sel_ok, jnp.take_along_axis(bidx, sel, axis=1), -1).astype(jnp.int32)
+    return Matches(
+        idx=jnp.stack([left, right], axis=2),
+        dist=jnp.where(sel_ok, -sel_score, _BIG).astype(jnp.float32),
+        valid=sel_ok,
+    )

@@ -144,7 +144,17 @@ def find_camera_pose_2d3d(
     x = camera.normalize_points(Kinv, uv)
 
     def solver(Xs, xs):
-        return pnp_dlt(Xs, xs)
+        # DLT init + Gauss-Newton polish on the minimal sample. The
+        # algebraic DLT alone is weak under low depth relief (its median
+        # reprojection error can be 100s of px on real far-field scenes
+        # where an exact pose exists); OpenCV's SOLVEPNP_ITERATIVE — the
+        # reference's solvePnPRansac backend (SfMStereoUtilities.cpp:216)
+        # — refines every sample the same way.
+        Rt0, ok = pnp_dlt(Xs, xs)
+        w6 = jnp.ones(Xs.shape[0], Xs.dtype)
+        Rt = refine_pose_gn(Rt0, Xs, xs, w6, iterations=8)
+        bad = ~jnp.all(jnp.isfinite(Rt))
+        return jnp.where(bad, Rt0, Rt), ok
 
     def scorer(Rt, Xs, xs):
         # pixel-space error: scale normalized residual by focal

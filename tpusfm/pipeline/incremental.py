@@ -133,15 +133,15 @@ class SfMPipeline:
     def _build_kernels(self):
         cfg = self.cfg
 
-        self._jit_extract = jax.jit(
-            functools.partial(
-                extract_features,
-                max_features=cfg.max_features,
-                desc_bits=cfg.desc_bits,
-                pyramid_levels=cfg.pyramid_levels,
-                pyramid_scale=cfg.pyramid_scale,
-                fast_threshold=cfg.fast_threshold / 255.0,
-            )
+        # extract_features jits internally per pyramid level (one small
+        # program per level compiles far faster than a monolithic graph)
+        self._jit_extract = functools.partial(
+            extract_features,
+            max_features=cfg.max_features,
+            desc_bits=cfg.desc_bits,
+            pyramid_levels=cfg.pyramid_levels,
+            pyramid_scale=cfg.pyramid_scale,
+            fast_threshold=cfg.fast_threshold / 255.0,
         )
         self._jit_match = jax.jit(
             functools.partial(
@@ -151,6 +151,24 @@ class SfMPipeline:
                 max_matches=cfg.max_matches,
             )
         )
+        # fused Pallas matcher: TPU only (CPU fallback is the jnp path);
+        # cross-check needs the full distance matrix, so it stays on jnp
+        self._use_pallas_matcher = (
+            cfg.use_pallas_matcher
+            and jax.default_backend() != "cpu"
+            and not cfg.cross_check
+            and cfg.max_features % 256 == 0
+        )
+        if self._use_pallas_matcher:
+            from tpusfm.features.pallas_match import match_pairs_pallas
+
+            self._jit_match_pallas = jax.jit(
+                functools.partial(
+                    match_pairs_pallas,
+                    ratio=cfg.match_ratio,
+                    max_matches=cfg.max_matches,
+                )
+            )
 
         def homography_counts(key, uv1, uv2, mask):
             keys = jax.random.split(key, uv1.shape[0])
@@ -255,7 +273,11 @@ class SfMPipeline:
             chunk = pairs[s : s + _PAIR_CHUNK]
             pad = _PAIR_CHUNK - len(chunk)
             arr = np.array(chunk + [(0, 1)] * pad, np.int32)
-            m = self._jit_match(self.features, jnp.asarray(arr))
+            if self._use_pallas_matcher:
+                m = self._jit_match_pallas(
+                    self.features.desc, self.features.valid, jnp.asarray(arr))
+            else:
+                m = self._jit_match(self.features, jnp.asarray(arr))
             idx_chunks.append(np_of(m.idx)[: len(chunk)])
             valid_chunks.append(np_of(m.valid)[: len(chunk)])
         self.match_idx = np.concatenate(idx_chunks, 0)
