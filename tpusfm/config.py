@@ -64,6 +64,16 @@ class SfMConfig:
     pnp_hypotheses: int = 256                 # reference: 100 RANSAC iters
     pnp_threshold_px: float = 10.0
     pnp_confidence: float = 0.99
+    # legacy pose sanity gates (MultiCameraPnP.cpp:287-299)
+    max_translation_norm: float = 200.0       # reject runaway poses, ||t|| <= 200
+    min_pnp_inlier_fraction: float = 0.2      # legacy: inliers >= points/5
+    # legacy adaptive triangulation filter: keep err <= max(2.4 * p80, 4px),
+    # hard reject > 16px (MultiCameraPnP.cpp:347-358, Snavely §4.2)
+    adaptive_reprojection_filter: bool = False
+    adaptive_percentile: float = 80.0
+    adaptive_multiplier: float = 2.4
+    adaptive_keep_px: float = 4.0
+    adaptive_reject_px: float = 16.0
 
     # ---- cloud merge (reference: SfM.cpp:50-51) ----
     merge_point_min_match_distance: float = 0.01

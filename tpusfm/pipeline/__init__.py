@@ -8,5 +8,6 @@ next, did the pose gate pass) runs in host Python on tiny gathered arrays
 """
 
 from tpusfm.pipeline.incremental import SfMPipeline, Reconstruction, run_sfm
+from tpusfm.pipeline.two_view import reconstruct_two_view
 
-__all__ = ["SfMPipeline", "Reconstruction", "run_sfm"]
+__all__ = ["SfMPipeline", "Reconstruction", "run_sfm", "reconstruct_two_view"]

@@ -101,8 +101,26 @@ class SfMPipeline:
             f = cfg.default_focal / max(cfg.downscale, 1e-6)
             self.intr = Intrinsics.create(f, self.W / 2.0, self.H / 2.0)
         self._init_intr = self.intr
+        self._listeners: List = []
         self._build_kernels()
         self.reset(seed)
+
+    def add_listener(self, fn):
+        """Register an update observer (SfMUpdateListener equivalent,
+        legacy SfMUpdateListener.h:33-41, notified at MultiCameraPnP.cpp:502,575):
+        fn(xyz, rgb, poses, pose_valid) is called after the baseline seed
+        and after every registered view — e.g. to stream a growing cloud
+        into a viewer."""
+        self._listeners.append(fn)
+
+    def _notify(self):
+        if not self._listeners:
+            return
+        n = self.n_points
+        xyz = self.xyz[:n].copy()
+        rgb = self._point_colors()
+        for fn in self._listeners:
+            fn(xyz, rgb, self.poses.copy(), self.pose_valid.copy())
 
     def reset(self, seed: int = 0):
         """Clear reconstruction state, keeping compiled kernels (so repeat
@@ -133,13 +151,19 @@ class SfMPipeline:
     def _build_kernels(self):
         cfg = self.cfg
 
+        from tpusfm.config import MatcherKind
+
         # extract_features jits internally per pyramid level (one small
-        # program per level compiles far faster than a monolithic graph)
+        # program per level compiles far faster than a monolithic graph).
+        # The optical-flow strategy uses single-scale detection like the
+        # legacy FAST-only path (OFFeatureMatcher.cpp:60-62) — stacked
+        # multi-scale duplicates of a corner defeat endpoint association.
+        levels = 1 if cfg.matcher == MatcherKind.OPTICAL_FLOW else cfg.pyramid_levels
         self._jit_extract = functools.partial(
             extract_features,
             max_features=cfg.max_features,
             desc_bits=cfg.desc_bits,
-            pyramid_levels=cfg.pyramid_levels,
+            pyramid_levels=levels,
             pyramid_scale=cfg.pyramid_scale,
             fast_threshold=cfg.fast_threshold / 255.0,
         )
@@ -264,10 +288,15 @@ class SfMPipeline:
         """All-pairs match matrix, chunked to a fixed batch for one compile.
 
         Replaces the reference's thread fan-out (SfM.cpp:165-211)."""
+        from tpusfm.config import MatcherKind
+
         t0 = time.perf_counter()
         pairs = [(i, j) for i in range(self.V) for j in range(i + 1, self.V)]
         self.pairs = pairs
         self.pair_of = {p: n for n, p in enumerate(pairs)}
+        if self.cfg.matcher == MatcherKind.OPTICAL_FLOW:
+            self._match_optical_flow()
+            return
         idx_chunks, valid_chunks = [], []
         for s in range(0, len(pairs), _PAIR_CHUNK):
             chunk = pairs[s : s + _PAIR_CHUNK]
@@ -286,6 +315,38 @@ class SfMPipeline:
         counts = self.match_valid.sum(1)
         self._log(2, f"matching: {len(pairs)} pairs, median {int(np.median(counts))} matches "
                      f"in {self._timings['matching_s']:.2f}s")
+        if self.cfg.epipolar_prune:
+            self.prune_matches_epipolar()
+
+    def _match_optical_flow(self):
+        """Pairwise matching by pyramidal LK flow (legacy OFFeatureMatcher
+        strategy, MatcherKind.OPTICAL_FLOW). One jitted kernel per pair,
+        executed over all pairs; the flow itself is batched over keypoints."""
+        from tpusfm.features.optical_flow import match_pair_optical_flow
+
+        t0 = time.perf_counter()
+        if not hasattr(self, "_jit_of_match"):
+            cfg = self.cfg
+            self._jit_of_match = jax.jit(functools.partial(
+                match_pair_optical_flow,
+                ratio=cfg.match_ratio_flow,
+                max_matches=cfg.max_matches,
+            ))
+        gray = jnp.asarray(self.gray)
+        idx_list, valid_list = [], []
+        for (i, j) in self.pairs:
+            m = self._jit_of_match(
+                gray[i], gray[j],
+                self.features.xy[i], self.features.valid[i],
+                self.features.xy[j], self.features.valid[j])
+            idx_list.append(np_of(m.idx))
+            valid_list.append(np_of(m.valid))
+        self.match_idx = np.stack(idx_list, 0)
+        self.match_valid = np.stack(valid_list, 0)
+        self._timings["matching_s"] = time.perf_counter() - t0
+        counts = self.match_valid.sum(1)
+        self._log(2, f"LK-flow matching: {len(self.pairs)} pairs, median "
+                     f"{int(np.median(counts))} matches in {self._timings['matching_s']:.2f}s")
         if self.cfg.epipolar_prune:
             self.prune_matches_epipolar()
 
@@ -389,6 +450,7 @@ class SfMPipeline:
             self._log(2, f"baseline {i},{j}: {n_new} seed points "
                          f"(pose inliers {pose_ratio:.2f}, H-ratio {ratio:.3f})")
             self.adjust_bundle()
+            self._notify()
             self._timings["baseline_s"] = time.perf_counter() - t0
             return True
         self._timings["baseline_s"] = time.perf_counter() - t0
@@ -497,7 +559,18 @@ class SfMPipeline:
                 self._log(3, f"view {view}: PnP inlier ratio {float(res.inlier_ratio):.2f} < "
                              f"{self.cfg.pose_inliers_minimal_ratio} — skipped")
                 continue
-            self.poses[view] = np_of(res.Rt)
+            Rt_new = np_of(res.Rt)
+            # legacy pose sanity gates (MultiCameraPnP.cpp:287-299):
+            # runaway translation and incoherent (det != +1) rotations
+            if np.linalg.norm(Rt_new[:, 3]) > self.cfg.max_translation_norm:
+                self._log(3, f"view {view}: ||t||={np.linalg.norm(Rt_new[:, 3]):.1f} > "
+                             f"{self.cfg.max_translation_norm} — rejected (MultiCameraPnP.cpp:292)")
+                continue
+            if abs(np.linalg.det(Rt_new[:, :3]) - 1.0) > 1e-2:
+                self._log(3, f"view {view}: incoherent rotation — rejected "
+                             f"(CheckCoherentRotation, FindCameraMatrices.cpp:113-142)")
+                continue
+            self.poses[view] = Rt_new
             self.pose_valid[view] = True
 
             # triangulate against every already-good view (SfM.cpp:413-461)
@@ -512,11 +585,25 @@ class SfMPipeline:
                     jnp.asarray(self.poses[view]), jnp.asarray(self.poses[g]),
                     K, self.intr.Kinv, jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(pruned))
                 keep = np_of(keep)
+                if self.cfg.adaptive_reprojection_filter and keep.any():
+                    keep &= self._adaptive_filter(np_of(e1), np_of(e2), keep)
                 if keep.sum():
                     self._insert_points(np_of(xyz)[keep], view, idx[keep, 0], g, idx[keep, 1])
             self.good_views.add(view)
             self.adjust_bundle()
+            self._notify()
         self._timings["add_views_s"] = time.perf_counter() - t0
+
+    def _adaptive_filter(self, e1: np.ndarray, e2: np.ndarray, keep: np.ndarray) -> np.ndarray:
+        """Legacy adaptive reprojection gate (MultiCameraPnP.cpp:347-358,
+        Snavely §4.2): threshold = clamp(2.4 * 80th-percentile, keep_px,
+        reject_px)."""
+        cfg = self.cfg
+        err = np.maximum(e1, e2)
+        p = np.percentile(err[keep], cfg.adaptive_percentile)
+        thr = min(max(cfg.adaptive_multiplier * p, cfg.adaptive_keep_px),
+                  cfg.adaptive_reject_px)
+        return err <= thr
 
     # ------------------------------------------------------------------ #
     # bundle adjustment
@@ -554,6 +641,61 @@ class SfMPipeline:
         self._log(2, f"BA: cost {float(summary.initial_cost):.1f} -> {float(summary.final_cost):.1f} "
                      f"in {int(summary.iterations)} iters ({dt:.2f}s)"
                      + ("" if improved else " — rejected (SfMBundleAdjustmentUtils.cpp:182-185)"))
+
+    # ------------------------------------------------------------------ #
+    # checkpoint / resume (new capability — the reference has none
+    # mid-run, SURVEY.md §5; multi-host runs need restartability)
+    # ------------------------------------------------------------------ #
+    def save_checkpoint(self, path: str):
+        """Serialize the full reconstruction state (track graph, poses,
+        features, matches, intrinsics) to one .npz."""
+        np.savez_compressed(
+            path,
+            xyz=self.xyz[: self.n_points],
+            obs=self.obs[: self.n_points],
+            feat2point=self.feat2point,
+            poses=self.poses,
+            pose_valid=self.pose_valid,
+            done_views=np.array(sorted(self.done_views), np.int32),
+            good_views=np.array(sorted(self.good_views), np.int32),
+            K=np_of(self.intr.K),
+            feat_xy=self.feat_xy,
+            feat_valid=self.feat_valid,
+            feat_desc=np_of(self.features.desc) if self.features is not None else np.zeros(0),
+            feat_score=np_of(self.features.score) if self.features is not None else np.zeros(0),
+            feat_angle=np_of(self.features.angle) if self.features is not None else np.zeros(0),
+            match_idx=self.match_idx if self.match_idx is not None else np.zeros(0),
+            match_valid=self.match_valid if self.match_valid is not None else np.zeros(0),
+        )
+
+    def load_checkpoint(self, path: str):
+        """Restore state saved by save_checkpoint; the incremental loop
+        (add_more_views) can continue from here."""
+        d = np.load(path)
+        n = d["xyz"].shape[0]
+        self.reset()
+        self.xyz[:n] = d["xyz"]
+        self.obs[:n] = d["obs"]
+        self.n_points = n
+        self.feat2point = d["feat2point"]
+        self.poses = d["poses"]
+        self.pose_valid = d["pose_valid"]
+        self.done_views = set(int(v) for v in d["done_views"])
+        self.good_views = set(int(v) for v in d["good_views"])
+        K = d["K"]
+        self.intr = Intrinsics.create(float(K[0, 0]), float(K[0, 2]), float(K[1, 2]))
+        self.feat_xy = d["feat_xy"]
+        self.feat_valid = d["feat_valid"]
+        if d["feat_desc"].size:
+            self.features = Features(
+                xy=jnp.asarray(d["feat_xy"]), desc=jnp.asarray(d["feat_desc"]),
+                score=jnp.asarray(d["feat_score"]), angle=jnp.asarray(d["feat_angle"]),
+                valid=jnp.asarray(d["feat_valid"]))
+        if d["match_idx"].size:
+            self.match_idx = d["match_idx"]
+            self.match_valid = d["match_valid"]
+            self.pairs = [(i, j) for i in range(self.V) for j in range(i + 1, self.V)]
+            self.pair_of = {p: n_ for n_, p in enumerate(self.pairs)}
 
     # ------------------------------------------------------------------ #
     # results
