@@ -58,6 +58,8 @@ def main():
         f"(cv2 reenactment, {baseline['total_s']:.2f}s)",
         file=sys.stderr,
     )
+    print(f"# warm stage timings: { {k: round(v, 3) for k, v in rec.stats.items()} }",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "crazyhorse_e2e_frames_per_s",
         "value": round(fps, 4),

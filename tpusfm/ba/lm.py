@@ -120,6 +120,32 @@ def _cost_only(cams, points, focal, prob: BAProblem, axis_name: str | None = Non
     return c
 
 
+def _cg_solve(A: jnp.ndarray, b: jnp.ndarray, extra_iters: int = 8) -> jnp.ndarray:
+    """Conjugate gradients for an SPD (Jacobi-prescaled) system.
+
+    Fixed iteration count n + extra (CG is exact in n steps in exact
+    arithmetic); fori_loop keeps it one fused XLA loop with no host sync.
+    """
+    n = b.shape[0]
+
+    def body(_, state):
+        x, r, p, rs = state
+        Ap = A @ p
+        denom = jnp.dot(p, Ap)
+        alpha = jnp.where(jnp.abs(denom) > 1e-30, rs / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.dot(r, r)
+        beta = jnp.where(rs > 1e-30, rs_new / rs, 0.0)
+        p = r + beta * p
+        return (x, r, p, rs_new)
+
+    x0 = jnp.zeros_like(b)
+    state = (x0, b, b, jnp.dot(b, b))
+    x, _, _, _ = jax.lax.fori_loop(0, n + extra_iters, body, state)
+    return x
+
+
 def _lm_step(prob: BAProblem, lam: jnp.ndarray, share_focal: bool, axis_name: str | None = None):
     """One damped normal-equation solve. Returns (d_cams, d_points, d_focal).
 
@@ -203,10 +229,13 @@ def _lm_step(prob: BAProblem, lam: jnp.ndarray, share_focal: bool, axis_name: st
     S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
     rhs = rhs * free
 
-    # Jacobi rescale for f32 conditioning, then dense solve
+    # Jacobi rescale for f32 conditioning, then CG on the scaled SPD system.
+    # (jnp.linalg.solve would LU-factor on the TPU's emulated path — slow
+    # scalar row ops; CG is pure matvecs on the VPU/MXU and exact within
+    # n iterations for this damped SPD system.)
     dscale = 1.0 / jnp.sqrt(jnp.clip(jnp.diag(S), 1e-12, None))
     Ss = S * dscale[:, None] * dscale[None, :]
-    ys = jnp.linalg.solve(Ss, rhs * dscale)
+    ys = _cg_solve(Ss, rhs * dscale)
     delta = ys * dscale
     delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
 

@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fix the shared focal during BA")
     p.add_argument("--pcd", action="store_true",
                    help="also export a .pcd cloud (legacy Visualization.cpp:360)")
+    p.add_argument("--html", action="store_true",
+                   help="also export an interactive HTML viewer "
+                        "(stand-in for the legacy PCL/Qt viewers)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -87,6 +90,8 @@ def main(argv=None) -> int:
         from tpusfm.io import save_pcd
 
         save_pcd(args.output_prefix + "_points.pcd", rec.xyz, rec.rgb)
+    if args.html:
+        rec.save_html(args.output_prefix + "_viewer.html")
     print(f"saved {rec.num_points} points, "
           f"{int(rec.pose_valid.sum())}/{len(rec.pose_valid)} cameras "
           f"-> {args.output_prefix}_points.ply / _cameras.ply "

@@ -76,6 +76,13 @@ class Reconstruction:
         scale = float(np.median(np.linalg.norm(self.xyz - np.median(self.xyz, 0), axis=1))) if len(self.xyz) else 1.0
         save_cameras_ply(prefix + "_cameras.ply", self.poses, self.pose_valid, scale=max(scale * 0.2, 1e-3))
 
+    def save_html(self, path: str):
+        """Interactive standalone HTML viewer (viz/html_viewer.py — the
+        TPU-era stand-in for the legacy PCL/Qt viewers)."""
+        from tpusfm.viz import export_html_viewer
+
+        export_html_viewer(path, self.xyz, self.rgb, self.poses, self.pose_valid)
+
 
 class SfMPipeline:
     """Host-side incremental SfM driver over jitted device kernels.
