@@ -171,25 +171,25 @@ def _bilinear(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@functools.lru_cache(maxsize=None)
-def _moment_kernels(radius: int = 15):
-    """31x31 kernels k10(dy,dx)=dx and k01(dy,dx)=dy over the circular
-    orientation patch (ORB's IC_Angle moments as convolutions)."""
-    dy, dx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
-    inside = (dy * dy + dx * dx <= radius * radius).astype(np.float32)
-    # XLA convolution is cross-correlation (no kernel flip), so the kernels
-    # are the raw dx/dy ramps over the circular support
-    k10 = (dx * inside).astype(np.float32)
-    k01 = (dy * inside).astype(np.float32)
-    return k10, k01
+def _conv_sep(img: jnp.ndarray, ky: jnp.ndarray, kx: jnp.ndarray) -> jnp.ndarray:
+    """Separable conv: 1D kernel along y then along x (cross-correlation)."""
+    x = img[None, None]
+    x = jax.lax.conv_general_dilated(x, ky.reshape(1, 1, -1, 1), (1, 1), "SAME")
+    x = jax.lax.conv_general_dilated(x, kx.reshape(1, 1, 1, -1), (1, 1), "SAME")
+    return x[0, 0]
 
 
-def _orientation_maps(img: jnp.ndarray):
-    """Dense m10/m01 intensity-centroid moment maps (two 31x31 convs —
-    MXU-friendly, no per-keypoint patch gathers)."""
-    k10, k01 = _moment_kernels()
-    m10 = _conv2d(img, jnp.asarray(k10))
-    m01 = _conv2d(img, jnp.asarray(k01))
+def _orientation_maps(img: jnp.ndarray, radius: int = 15):
+    """Dense m10/m01 intensity-centroid moment maps (ORB's IC_Angle).
+
+    Square-patch moments factor into separable 1-D convolutions
+    (ramp x box), ~30x fewer taps than the dense 31x31 circular kernel
+    and a far better XLA mapping; the centroid direction is nearly
+    identical to the circular-patch version."""
+    ramp = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    box = jnp.ones((2 * radius + 1,), jnp.float32)
+    m10 = _conv_sep(img, box, ramp)   # sum I(y+dy, x+dx) * dx
+    m01 = _conv_sep(img, ramp, box)   # sum I(y+dy, x+dx) * dy
     return m10, m01
 
 

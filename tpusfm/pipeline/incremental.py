@@ -261,6 +261,29 @@ class SfMPipeline:
             )
         )
 
+        def prune_triangulate_batch(key, Rt_new, Rt_g, uv1, uv2, mask, K, Kinv):
+            """Epipolar-prune + triangulate the new view against ALL good
+            views in one vmapped program (replaces the reference's serial
+            per-good-view loop, SfM.cpp:413-461)."""
+            keys = jax.random.split(key, uv1.shape[0])
+
+            def one(k, Rtg, a, b, m):
+                two = find_camera_from_match(
+                    k, a, b, m, K, Kinv,
+                    threshold_px=cfg.essential_threshold_px,
+                    hypotheses=cfg.ransac_hypotheses,
+                )
+                pruned = two.inliers & m
+                return triangulate_views(
+                    Rt_new, Rtg, K, Kinv, a, b, pruned,
+                    max_reprojection_error=cfg.min_reprojection_error,
+                    iterations=cfg.triangulation_iters,
+                )
+
+            return jax.vmap(one)(keys, Rt_g, uv1, uv2, mask)
+
+        self._jit_prune_triangulate = jax.jit(prune_triangulate_batch)
+
         self._jit_ba = jax.jit(
             functools.partial(
                 adjust_bundle,
@@ -608,22 +631,39 @@ class SfMPipeline:
             self.poses[view] = Rt_new
             self.pose_valid[view] = True
 
-            # triangulate against every already-good view (SfM.cpp:413-461)
+            # triangulate against every already-good view, batched into one
+            # padded vmapped call (SfM.cpp:413-461 without the serial loop)
+            M = self.cfg.max_matches
+            G = self.V  # padded batch: one slot per possible good view
+            uv1b = np.zeros((G, M, 2), np.float32)
+            uv2b = np.zeros((G, M, 2), np.float32)
+            maskb = np.zeros((G, M), bool)
+            Rt_gb = np.tile(np.eye(3, 4, dtype=np.float32), (G, 1, 1))
+            idx_b = np.full((G, M, 2), -1, np.int32)
+            slot_view = []
             for g in sorted(self.good_views):
                 uv1, uv2, valid, idx = self._pair_match_uv(view, g)
                 if valid.sum() < 8:
                     continue
-                two = self._jit_two_view(self._split_key(), jnp.asarray(uv1),
-                                         jnp.asarray(uv2), jnp.asarray(valid), K, self.intr.Kinv)
-                pruned = np_of(two.inliers) & valid
-                xyz, keep, e1, e2 = self._jit_triangulate(
-                    jnp.asarray(self.poses[view]), jnp.asarray(self.poses[g]),
-                    K, self.intr.Kinv, jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(pruned))
-                keep = np_of(keep)
-                if self.cfg.adaptive_reprojection_filter and keep.any():
-                    keep &= self._adaptive_filter(np_of(e1), np_of(e2), keep)
-                if keep.sum():
-                    self._insert_points(np_of(xyz)[keep], view, idx[keep, 0], g, idx[keep, 1])
+                k = len(slot_view)
+                uv1b[k], uv2b[k], maskb[k] = uv1, uv2, valid
+                Rt_gb[k] = self.poses[g]
+                idx_b[k] = idx
+                slot_view.append(g)
+            if slot_view:
+                xyzb, keepb, e1b, e2b = self._jit_prune_triangulate(
+                    self._split_key(), jnp.asarray(self.poses[view]),
+                    jnp.asarray(Rt_gb), jnp.asarray(uv1b), jnp.asarray(uv2b),
+                    jnp.asarray(maskb), K, self.intr.Kinv)
+                xyzb, keepb = np_of(xyzb), np_of(keepb)
+                e1b, e2b = np_of(e1b), np_of(e2b)
+                for k, g in enumerate(slot_view):
+                    keep = keepb[k]
+                    if self.cfg.adaptive_reprojection_filter and keep.any():
+                        keep &= self._adaptive_filter(e1b[k], e2b[k], keep)
+                    if keep.sum():
+                        self._insert_points(xyzb[k][keep], view,
+                                            idx_b[k][keep, 0], g, idx_b[k][keep, 1])
             self.good_views.add(view)
             self.adjust_bundle()
             self._notify()
