@@ -93,7 +93,8 @@ class SfMConfig:
 
     # ---- logging (reference: SfMCommon.h:38-44) ----
     console_debug_level: int = 2              # 0=TRACE..4=ERROR, clamped like SfM.h:77-83
-    visual_debug_level: int = 4
+    visual_debug_level: int = 4               # <=2 writes overlay dumps to debug_dir
+    debug_dir: str = "tpusfm_debug"           # where visual-debug overlays land
 
     # ---- distribution ----
     mesh_axis: str = "devices"

@@ -347,6 +347,30 @@ class SfMPipeline:
                      f"in {self._timings['matching_s']:.2f}s")
         if self.cfg.epipolar_prune:
             self.prune_matches_epipolar()
+        self._dump_match_overlays()
+
+    def _dump_match_overlays(self):
+        """Visual-debug channel: write match overlays for the best pairs
+        (imshow-panel equivalent, SfM.cpp:277-286, gated by
+        mVisualDebugLevel like SfM.h:77-83)."""
+        if self.cfg.visual_debug_level > 2:
+            return
+        import os
+
+        from tpusfm.viz import draw_keypoints, draw_matches
+
+        os.makedirs(self.cfg.debug_dir, exist_ok=True)
+        counts = self.match_valid.sum(1)
+        order = np.argsort(-counts)[:6]
+        for n in order:
+            i, j = self.pairs[n]
+            uv1, uv2, valid, _ = self._pair_match_uv(i, j)
+            draw_matches(os.path.join(self.cfg.debug_dir, f"matches_{i}_{j}.png"),
+                         self.gray[i], self.gray[j], uv1, uv2, valid)
+        if self.cfg.visual_debug_level <= 1:
+            for v in range(self.V):
+                draw_keypoints(os.path.join(self.cfg.debug_dir, f"keypoints_{v}.png"),
+                               self.gray[v], self.feat_xy[v], self.feat_valid[v])
 
     def _match_optical_flow(self):
         """Pairwise matching by pyramidal LK flow (legacy OFFeatureMatcher
