@@ -1,0 +1,113 @@
+"""Scale benchmarks: sharded matching + distributed BA throughput.
+
+Measures the two scaling axes of BASELINE.json's large configs (500-image
+collection, city-scale BA) on whatever devices exist — one TPU chip, or a
+virtual CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8):
+
+  - pair matching throughput (pairs/s) with the Pallas streaming matcher
+    at the reference's 5000-feature scale,
+  - distributed LM-BA iterations/s with observation sharding over the
+    mesh (the BASELINE "BA iterations/sec" metric).
+
+Prints one JSON line per metric.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def bench_matching(n_pairs=128, F=5120, D=256, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    from tpusfm.features.pallas_match import match_topk2_pallas
+
+    rng = np.random.default_rng(0)
+    d1 = jnp.asarray(np.sign(rng.standard_normal((n_pairs, F, D))).astype(np.float32))
+    d2 = jnp.asarray(np.sign(rng.standard_normal((n_pairs, F, D))).astype(np.float32))
+    v2 = jnp.ones((n_pairs, F), bool)
+    if jax.default_backend() == "cpu":
+        # interpret-mode pallas is too slow for a benchmark; use jnp path
+        from tpusfm.features.match import hamming_distance_matrix
+
+        def f(a, b, v):
+            def one(x, y, m):
+                dm = hamming_distance_matrix(x, y)
+                nt, it = jax.lax.top_k(-dm, 2)
+                return -nt[:, 0], -nt[:, 1], it[:, 0]
+
+            return jax.vmap(one)(a, b, v)
+
+        f = jax.jit(f)
+    else:
+        f = match_topk2_pallas
+    r = f(d1, d2, v2)
+    jax.tree.map(lambda x: x.block_until_ready(), r)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        r = f(d1, d2, v2)
+        jax.tree.map(lambda x: x.block_until_ready(), r)
+    dt = (time.perf_counter() - t0) / repeats
+    return {"metric": "match_pairs_per_s", "value": round(n_pairs / dt, 2),
+            "unit": f"pairs/s @ {F} feats", "detail": {"seconds_per_batch": dt}}
+
+
+def bench_distributed_ba(n_points=16384, n_cams=32, iterations=20, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    from tests import fixtures
+    from tpusfm import camera
+    from tpusfm.dist import adjust_bundle_sharded, make_mesh
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    if n_points % n_dev:
+        n_points += n_dev - n_points % n_dev
+    rng = np.random.default_rng(0)
+    intr = fixtures.intrinsics()
+    pts = np.stack([rng.uniform(-8, 8, n_points), rng.uniform(-6, 6, n_points),
+                    rng.uniform(10, 40, n_points)], 1).astype(np.float32)
+    poses = []
+    for v in range(n_cams):
+        th = 0.01 * v
+        c, s = np.cos(th), np.sin(th)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        poses.append(np.concatenate([R, np.array([[-0.1 * v], [0.0], [1.0]], np.float32)], 1))
+    poses = np.stack(poses)
+    uv = np.zeros((n_points, n_cams, 2), np.float32)
+    for v in range(n_cams):
+        pc = pts @ poses[v][:, :3].T + poses[v][:, 3]
+        uv[:, v] = (pc[:, :2] / np.maximum(pc[:, 2:3], 1e-6)) * float(intr.focal) \
+            + np.array(intr.pp)
+    # ~30% observation density (each point seen by ~10 cameras)
+    mask = rng.uniform(0, 1, (n_points, n_cams)) < 0.3
+    noisy = poses + 0.002 * rng.standard_normal(poses.shape).astype(np.float32)
+
+    def run():
+        out = adjust_bundle_sharded(
+            mesh, jnp.asarray(noisy), jnp.ones((n_cams,), bool),
+            jnp.asarray(pts + 0.02 * rng.standard_normal(pts.shape).astype(np.float32)),
+            jnp.ones((n_points,), bool), jnp.asarray(uv), jnp.asarray(mask),
+            intr.K, max_iterations=iterations, function_tolerance=0.0)
+        out[0].block_until_ready()
+        return out
+
+    run()  # compile
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = run()
+    dt = (time.perf_counter() - t0) / repeats
+    n_obs = int(mask.sum())
+    return {"metric": "ba_iterations_per_s", "value": round(iterations / dt, 2),
+            "unit": f"LM iters/s @ {n_points} pts x {n_cams} cams ({n_obs} obs, {len(jax.devices())} dev)",
+            "detail": {"seconds_per_solve": dt,
+                       "final_cost": float(out[3].final_cost)}}
+
+
+if __name__ == "__main__":
+    print(json.dumps(bench_matching()))
+    print(json.dumps(bench_distributed_ba()))
