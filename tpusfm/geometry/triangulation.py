@@ -28,13 +28,36 @@ def _dlt_rows(P: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     ])
 
 
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse via adjugate (no factorization kernels)."""
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    A11 = e * i - f * h
+    A21 = f * g - d * i
+    A31 = d * h - e * g
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < _EPS, _EPS, det)
+    adj = jnp.array([
+        [A11, c * h - b * i, b * f - c * e],
+        [A21, a * i - c * g, c * d - a * f],
+        [A31, b * g - a * h, a * e - b * d],
+    ])
+    return adj / det
+
+
 def _solve_homogeneous_4(A: jnp.ndarray) -> jnp.ndarray:
-    """Smallest eigenvector of A^T A for A (k,4) -> dehomogenized (3,)."""
-    G = A.T @ A
-    _, V = jnp.linalg.eigh(G)
-    Xh = V[:, 0]
-    w = Xh[3]
-    return Xh[:3] / jnp.where(jnp.abs(w) < _EPS, jnp.sign(w) * _EPS + _EPS, w)
+    """Triangulation solve for A (k,4) rows [a | b]: A[:, :3] X = -A[:, 3].
+
+    Inhomogeneous least squares with fixed w=1 — the same formulation the
+    legacy reference uses (LinearLSTriangulation's 4x3 DECOMP_SVD solve,
+    Triangulation.cpp:66-77). The 3x3 normal equations invert in closed
+    form: pure arithmetic, no eigh/SVD emulation in the inner loop (this
+    runs tens of thousands of times per reconstruction round)."""
+    M = A[:, :3]
+    b = -A[:, 3]
+    G = M.T @ M + 1e-12 * jnp.eye(3, dtype=A.dtype)
+    return _inv3x3(G) @ (M.T @ b)
 
 
 def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
