@@ -20,6 +20,23 @@ def test_track_known_translation():
     np.testing.assert_allclose(med, [7.0, 3.0], atol=0.35)
 
 
+def test_dense_flow_match_pair():
+    from tpusfm.features.dense import match_pair_dense
+
+    img = random_dot_image(h=160, w=200, n_dots=150, seed=5)
+    shifted = np.roll(img, shift=(3, 6), axis=(0, 1))
+    imgs = jnp.stack([jnp.asarray(img), jnp.asarray(shifted)])
+    f = extract_features(imgs, max_features=256, pyramid_levels=1)
+    m = match_pair_dense(
+        imgs[0], imgs[1], f.xy[0], f.valid[0], f.xy[1], f.valid[1], max_matches=256)
+    valid = np.asarray(m.valid)
+    idx = np.asarray(m.idx)[valid]
+    assert len(idx) > 30, f"only {len(idx)} dense-flow matches"
+    d = np.asarray(f.xy[1])[idx[:, 1]] - np.asarray(f.xy[0])[idx[:, 0]]
+    med = np.median(d, axis=0)
+    np.testing.assert_allclose(med, [6.0, 3.0], atol=0.6)
+
+
 def test_of_match_pair():
     img = random_dot_image(h=160, w=200, n_dots=150, seed=4)
     shifted = np.roll(img, shift=(2, 5), axis=(0, 1))

@@ -39,9 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override focal length in (full-res) pixels")
     p.add_argument("--max-features", type=int, default=2048)
     p.add_argument("--max-matches", type=int, default=1024)
-    p.add_argument("--matcher", choices=["rich", "of"], default="rich",
+    p.add_argument("--matcher", choices=["rich", "of", "dense"], default="rich",
                    help="matcher strategy (legacy IDistance.h:32-35): "
-                        "rich=detect+describe, of=optical-flow")
+                        "rich=detect+describe, of=sparse LK flow, "
+                        "dense=grid dense-flow field")
     p.add_argument("--decomposition", choices=["svd", "horn"], default="svd",
                    help="essential decomposition (FindCameraMatrices.cpp:45)")
     p.add_argument("--no-ba-focal", action="store_true",
@@ -69,7 +70,8 @@ def main(argv=None) -> int:
         visual_debug_level=args.visual_debug,
         max_features=args.max_features,
         max_matches=args.max_matches,
-        matcher=MatcherKind.OPTICAL_FLOW if args.matcher == "of" else MatcherKind.RICH,
+        matcher={"of": MatcherKind.OPTICAL_FLOW,
+                 "dense": MatcherKind.DENSE}.get(args.matcher, MatcherKind.RICH),
         decomposition=(EssentialDecomposition.HORN90 if args.decomposition == "horn"
                        else EssentialDecomposition.SVD_HZ),
         ba_share_focal=not args.no_ba_focal,

@@ -165,7 +165,8 @@ class SfMPipeline:
         # The optical-flow strategy uses single-scale detection like the
         # legacy FAST-only path (OFFeatureMatcher.cpp:60-62) — stacked
         # multi-scale duplicates of a corner defeat endpoint association.
-        levels = 1 if cfg.matcher == MatcherKind.OPTICAL_FLOW else cfg.pyramid_levels
+        levels = (1 if cfg.matcher in (MatcherKind.OPTICAL_FLOW, MatcherKind.DENSE)
+                  else cfg.pyramid_levels)
         self._jit_extract = functools.partial(
             extract_features,
             max_features=cfg.max_features,
@@ -324,7 +325,7 @@ class SfMPipeline:
         pairs = [(i, j) for i in range(self.V) for j in range(i + 1, self.V)]
         self.pairs = pairs
         self.pair_of = {p: n for n, p in enumerate(pairs)}
-        if self.cfg.matcher == MatcherKind.OPTICAL_FLOW:
+        if self.cfg.matcher in (MatcherKind.OPTICAL_FLOW, MatcherKind.DENSE):
             self._match_optical_flow()
             return
         idx_chunks, valid_chunks = [], []
@@ -373,19 +374,28 @@ class SfMPipeline:
                                self.gray[v], self.feat_xy[v], self.feat_valid[v])
 
     def _match_optical_flow(self):
-        """Pairwise matching by pyramidal LK flow (legacy OFFeatureMatcher
-        strategy, MatcherKind.OPTICAL_FLOW). One jitted kernel per pair,
-        executed over all pairs; the flow itself is batched over keypoints."""
+        """Pairwise matching by flow (legacy OFFeatureMatcher /
+        dense-FeatureMatching strategies, MatcherKind.OPTICAL_FLOW /
+        DENSE). One jitted kernel per pair, executed over all pairs; the
+        flow itself is batched over keypoints (or a dense grid)."""
+        from tpusfm.config import MatcherKind
+        from tpusfm.features.dense import match_pair_dense
         from tpusfm.features.optical_flow import match_pair_optical_flow
 
         t0 = time.perf_counter()
         if not hasattr(self, "_jit_of_match"):
             cfg = self.cfg
-            self._jit_of_match = jax.jit(functools.partial(
-                match_pair_optical_flow,
-                ratio=cfg.match_ratio_flow,
-                max_matches=cfg.max_matches,
-            ))
+            if cfg.matcher == MatcherKind.DENSE:
+                self._jit_of_match = jax.jit(functools.partial(
+                    match_pair_dense,
+                    max_matches=cfg.max_matches,
+                ))
+            else:
+                self._jit_of_match = jax.jit(functools.partial(
+                    match_pair_optical_flow,
+                    ratio=cfg.match_ratio_flow,
+                    max_matches=cfg.max_matches,
+                ))
         gray = jnp.asarray(self.gray)
         idx_list, valid_list = [], []
         for (i, j) in self.pairs:
