@@ -1,0 +1,83 @@
+"""EPFL/Strecha ground-truth evaluation harness (fountain-P11 etc.).
+
+BASELINE.md names the Strecha CVPR'08 datasets (fountain-P11,
+Herz-Jesu-P25) for ATE checks; the datasets are not bundled (no network
+in this environment), so this harness takes a local dataset directory:
+
+    <dir>/
+      *.png | *.jpg             the images
+      *.camera                  per-image ground-truth camera files in the
+                                Strecha format: 3x3 K (rows 1-3), distortion
+                                (row 4), 3x3 R (rows 5-7), camera center
+                                (row 8), image size (row 9). R maps
+                                camera->world; center is in world coords.
+
+Usage:
+    python benchmarks/strecha_eval.py <dataset-dir> [--downscale N]
+Prints one JSON line: {"metric": "strecha_ate_rmse", ...}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def load_strecha_camera(path: str):
+    """Parse one .camera file -> (K (3,3), Rt (3,4) world->camera)."""
+    vals = []
+    for line in open(path):
+        vals.extend(float(x) for x in line.split())
+    vals = np.asarray(vals, np.float64)
+    K = vals[:9].reshape(3, 3)
+    # vals[9:12] distortion (unused here)
+    R_cw = vals[12:21].reshape(3, 3)   # camera -> world
+    c = vals[21:24]                    # camera center, world coords
+    R = R_cw.T                         # world -> camera
+    t = -R @ c
+    return K, np.concatenate([R, t[:, None]], axis=1)
+
+
+def evaluate(dataset_dir: str, downscale: float = 2.0):
+    from tpusfm import SfMConfig
+    from tpusfm.eval import ate_rmse, rotation_errors_deg
+    from tpusfm.io import load_image_directory
+    from tpusfm.pipeline import SfMPipeline
+    from tpusfm.types import Intrinsics
+
+    cam_files = sorted(f for f in os.listdir(dataset_dir) if f.endswith(".camera"))
+    if not cam_files:
+        raise FileNotFoundError(f"no .camera ground-truth files in {dataset_dir}")
+    gt = [load_strecha_camera(os.path.join(dataset_dir, f)) for f in cam_files]
+    gt_K = gt[0][0]
+    gt_poses = np.stack([g[1] for g in gt])
+
+    imgs = load_image_directory(dataset_dir, downscale)
+    f = 0.5 * (gt_K[0, 0] + gt_K[1, 1]) / downscale
+    intr = Intrinsics.create(f, gt_K[0, 2] / downscale, gt_K[1, 2] / downscale)
+    pipe = SfMPipeline(imgs.gray, SfMConfig(downscale=downscale), images_rgb=imgs.rgb,
+                       intrinsics=intr)
+    rec = pipe.run()
+
+    sel = rec.pose_valid
+    ate = ate_rmse(rec.poses[sel], gt_poses[sel])
+    rot = rotation_errors_deg(rec.poses[sel], gt_poses[sel])
+    return {
+        "metric": "strecha_ate_rmse",
+        "value": round(ate, 4),
+        "unit": "scene units (RMSE after similarity alignment)",
+        "detail": {
+            "cameras": f"{int(sel.sum())}/{len(sel)}",
+            "points": rec.num_points,
+            "mean_reprojection_px": round(rec.mean_reprojection_error, 3),
+            "median_rotation_error_deg": round(float(np.median(rot)), 3),
+        },
+    }
+
+
+if __name__ == "__main__":
+    d = sys.argv[1]
+    ds = float(sys.argv[sys.argv.index("--downscale") + 1]) if "--downscale" in sys.argv else 2.0
+    print(json.dumps(evaluate(d, ds)))
