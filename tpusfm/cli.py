@@ -39,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override focal length in (full-res) pixels")
     p.add_argument("--max-features", type=int, default=2048)
     p.add_argument("--max-matches", type=int, default=1024)
-    p.add_argument("--matcher", choices=["rich", "of", "dense"], default="rich",
+    p.add_argument("--matcher", choices=["rich", "of", "dense", "surf", "stereo"],
+                   default="rich",
                    help="matcher strategy (legacy IDistance.h:32-35): "
                         "rich=detect+describe, of=sparse LK flow, "
                         "dense=grid dense-flow field")
@@ -71,7 +72,9 @@ def main(argv=None) -> int:
         max_features=args.max_features,
         max_matches=args.max_matches,
         matcher={"of": MatcherKind.OPTICAL_FLOW,
-                 "dense": MatcherKind.DENSE}.get(args.matcher, MatcherKind.RICH),
+                 "dense": MatcherKind.DENSE,
+                 "surf": MatcherKind.SURF,
+                 "stereo": MatcherKind.STEREO}.get(args.matcher, MatcherKind.RICH),
         decomposition=(EssentialDecomposition.HORN90 if args.decomposition == "horn"
                        else EssentialDecomposition.SVD_HZ),
         ba_share_focal=not args.no_ba_focal,

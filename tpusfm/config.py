@@ -18,6 +18,8 @@ class MatcherKind(enum.Enum):
     RICH = "rich"            # ORB-like detect+describe+match (default; M3, L4)
     OPTICAL_FLOW = "of"      # pyramidal LK flow matcher (L5)
     DENSE = "dense"          # dense Farneback-style flow (L11)
+    SURF = "surf"            # float-descriptor blob pipeline (L6, GPUSURFFeatureMatcher)
+    STEREO = "stereo"        # scanline-disparity matching (L11, StereoSGBM path)
 
 
 class EssentialDecomposition(enum.Enum):
@@ -42,6 +44,11 @@ class SfMConfig:
     max_matches: int = 1024           # static match capacity per pair
     matcher: MatcherKind = MatcherKind.RICH
     use_pallas_matcher: bool = True   # fused streaming-top2 TPU kernel (features/pallas_match.py)
+    # detector ranking score: "harris" (cv::ORB HARRIS_SCORE) or "min_eig"
+    # (Shi-Tomasi, the legacy goodFeaturesToTrack sparse-LK seed,
+    # FeatureMatching.cpp:314-331)
+    detector_score: str = "harris"
+    max_disparity: int = 64           # STEREO strategy plane-sweep depth
 
     # ---- two-view geometry (reference: SfMStereoUtilities.cpp:41-42) ----
     ransac_threshold_px: float = 10.0         # RANSAC_THRESHOLD

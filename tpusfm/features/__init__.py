@@ -13,6 +13,7 @@ from tpusfm.features.match import (
     match_pair,
     match_all_pairs,
     hamming_distance_matrix,
+    l2_distance_matrix,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "match_pair",
     "match_all_pairs",
     "hamming_distance_matrix",
+    "l2_distance_matrix",
 ]

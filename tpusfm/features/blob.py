@@ -1,0 +1,215 @@
+"""Multi-scale determinant-of-Hessian blob detector + float descriptors.
+
+TPU-native re-design of the legacy GPU SURF path
+(legacy/SfMToyLib_Old/GPUSURFFeatureMatcher.{h,cpp}: ``gpu::SURF_GPU``
+detect+describe on device :56-69, ``BruteForceMatcher_GPU<L2>``
+knnMatchSingle k=2 + 0.7 ratio test :100-124). The capability being
+reproduced is an on-accelerator *float-descriptor* pipeline alongside the
+binary one: scale-space blob keypoints, gradient-statistics descriptors,
+and L2 brute-force matching that runs as a single MXU matmul.
+
+Design notes (vs. SURF's CPU/CUDA formulation):
+- SURF approximates Gaussian second derivatives with integral-image box
+  filters because random-access box sums are cheap on CPUs. On TPU the
+  natural primitive is the convolution itself: each scale's Hessian
+  (Lxx, Lyy, Lxy) is three separable Gaussian-derivative convolutions,
+  dense over the whole image (VPU/MXU-friendly, no data-dependent access).
+- The scale ladder is a static Python loop of per-scale jitted programs
+  (same per-level compile strategy as features/detect.py).
+- Descriptors follow SURF's 4x4-subregion gradient statistics
+  (sum dx, sum |dx|, sum dy, sum |dy| in the keypoint frame -> 64-dim,
+  L2-normalized) but sample rotated dense Sobel-gradient maps bilinearly
+  instead of computing Haar wavelets at integer offsets.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusfm.features.detect import (
+    _bilinear,
+    _border_mask,
+    _conv2d,
+    _nms3,
+    _SOBEL_X,
+    _SOBEL_Y,
+    _subpixel_offsets,
+)
+from tpusfm.types import Features
+
+
+def _gauss_derivative_kernels(sigma: float):
+    """1-D Gaussian g and its first/second derivatives at scale sigma."""
+    radius = max(int(round(3.0 * sigma)), 2)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    g = np.exp(-0.5 * (x / sigma) ** 2)
+    g /= g.sum()
+    g1 = -(x / sigma**2) * g                      # d/dx g
+    g2 = ((x**2 - sigma**2) / sigma**4) * g       # d2/dx2 g
+    return (jnp.asarray(g, jnp.float32), jnp.asarray(g1, jnp.float32),
+            jnp.asarray(g2, jnp.float32))
+
+
+def _conv_sep_kernels(img: jnp.ndarray, ky: jnp.ndarray, kx: jnp.ndarray) -> jnp.ndarray:
+    x = img[None, None]
+    x = jax.lax.conv_general_dilated(x, ky.reshape(1, 1, -1, 1), (1, 1), "SAME")
+    x = jax.lax.conv_general_dilated(x, kx.reshape(1, 1, 1, -1), (1, 1), "SAME")
+    return x[0, 0]
+
+
+def hessian_response(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Scale-normalized determinant-of-Hessian response at one scale.
+
+    det H = sigma^4 (Lxx Lyy - (w Lxy)^2), w = 0.9 — the same relative
+    weight SURF uses to balance its box-filter approximation.
+    """
+    g, g1, g2 = _gauss_derivative_kernels(sigma)
+    lxx = _conv_sep_kernels(img, g, g2)
+    lyy = _conv_sep_kernels(img, g2, g)
+    lxy = _conv_sep_kernels(img, g1, g1)
+    return sigma**4 * (lxx * lyy - (0.9 * lxy) ** 2)
+
+
+# SURF descriptor geometry: 4x4 subregions x 5x5 samples, sample spacing
+# = sigma, subregion Gaussian weight sigma_w = 3.3 sigma (SURF paper §4.2).
+_DESC_GRID = 4
+_DESC_SAMPLES = 5
+
+
+@functools.lru_cache(maxsize=None)
+def _descriptor_offsets():
+    """Sample offsets (S, 2), subregion id (S,), Gaussian weights (S,)."""
+    n = _DESC_GRID * _DESC_SAMPLES  # 20 samples across the patch
+    coords = (np.arange(n) - (n - 1) / 2.0)  # in units of sigma
+    oy, ox = np.meshgrid(coords, coords, indexing="ij")
+    sub = (np.arange(n) // _DESC_SAMPLES)
+    sy, sx = np.meshgrid(sub, sub, indexing="ij")
+    region = (sy * _DESC_GRID + sx).astype(np.int32)
+    w = np.exp(-(ox**2 + oy**2) / (2.0 * 3.3**2))
+    return (ox.ravel().astype(np.float32), oy.ravel().astype(np.float32),
+            region.ravel(), w.ravel().astype(np.float32))
+
+
+def _surf_descriptors(ix, iy, xs, ys, angles, sigma):
+    """(K, 64) SURF-style gradient-statistics descriptors.
+
+    ix, iy: dense gradient maps of the sigma-smoothed image.
+    """
+    ox, oy, region, w = _descriptor_offsets()
+    ox = jnp.asarray(ox) * sigma
+    oy = jnp.asarray(oy) * sigma
+    w = jnp.asarray(w)
+    c, s = jnp.cos(angles), jnp.sin(angles)            # (K,)
+    # rotate sample offsets into the keypoint frame
+    rx = c[:, None] * ox[None, :] - s[:, None] * oy[None, :]
+    ry = s[:, None] * ox[None, :] + c[:, None] * oy[None, :]
+    px = xs[:, None] + rx
+    py = ys[:, None] + ry
+    gx = _bilinear(ix, py, px)                          # (K, S)
+    gy = _bilinear(iy, py, px)
+    # rotate gradients into the keypoint frame
+    dx = (c[:, None] * gx + s[:, None] * gy) * w[None, :]
+    dy = (-s[:, None] * gx + c[:, None] * gy) * w[None, :]
+
+    nreg = _DESC_GRID * _DESC_GRID
+    reg = jnp.asarray(region)
+    seg = lambda v: jax.ops.segment_sum(v.T, reg, num_segments=nreg).T  # (K, 16)
+    desc = jnp.concatenate([seg(dx), seg(jnp.abs(dx)), seg(dy), seg(jnp.abs(dy))], axis=1)
+    norm = jnp.sqrt(jnp.sum(desc * desc, axis=1, keepdims=True) + 1e-12)
+    return desc / norm
+
+
+def _orientation(ix, iy, xs, ys, sigma):
+    """Dominant direction: Gaussian-weighted mean gradient in a 6-sigma disc."""
+    r = jnp.arange(-6, 7, dtype=jnp.float32)
+    oy, ox = jnp.meshgrid(r, r, indexing="ij")
+    keep = (ox**2 + oy**2 <= 36.0).astype(jnp.float32)
+    w = (keep * jnp.exp(-(ox**2 + oy**2) / (2.0 * 2.5**2))).ravel()
+    ox = (ox * sigma).ravel()
+    oy = (oy * sigma).ravel()
+    px = xs[:, None] + ox[None, :]
+    py = ys[:, None] + oy[None, :]
+    gx = jnp.sum(_bilinear(ix, py, px) * w[None, :], axis=1)
+    gy = jnp.sum(_bilinear(iy, py, px) * w[None, :], axis=1)
+    return jnp.arctan2(gy, gx)
+
+
+def _scale_pipeline(imgs, *, sigma, per_scale, margin, threshold):
+    """Detect + orient + describe one scale for all views."""
+
+    def one(img):
+        resp = hessian_response(img, sigma)
+        masked = jnp.where(resp > threshold, resp, -jnp.inf)
+        masked = _nms3(masked)
+        masked = jnp.where(_border_mask(img.shape, margin), masked, -jnp.inf)
+        score, idx = jax.lax.top_k(masked.reshape(-1), per_scale)
+        w = img.shape[1]
+        yi, xi = idx // w, idx % w
+        dy, dx = _subpixel_offsets(resp, yi, xi)
+        ysf = yi.astype(jnp.float32) + dy
+        xsf = xi.astype(jnp.float32) + dx
+        g, _, _ = _gauss_derivative_kernels(sigma)
+        smooth = _conv_sep_kernels(img, g, g)
+        ix = _conv2d(smooth, _SOBEL_X)
+        iy = _conv2d(smooth, _SOBEL_Y)
+        ang = _orientation(ix, iy, xsf, ysf, sigma)
+        desc = _surf_descriptors(ix, iy, xsf, ysf, ang, sigma)
+        return score, xsf, ysf, ang, desc
+
+    return jax.vmap(one)(imgs)
+
+
+@functools.lru_cache(maxsize=None)
+def _scale_kernel(sigma: float, per_scale: int, margin: int, threshold: float):
+    return jax.jit(functools.partial(
+        _scale_pipeline, sigma=sigma, per_scale=per_scale, margin=margin,
+        threshold=threshold))
+
+
+@functools.lru_cache(maxsize=None)
+def _merge_kernel(max_features: int):
+    @jax.jit
+    def merge(score, x, y, ang, desc):
+        def one(s, xx, yy, aa, dd):
+            top_score, top_idx = jax.lax.top_k(s, max_features)
+            valid = jnp.isfinite(top_score)
+            xy = jnp.stack([xx[top_idx], yy[top_idx]], axis=1)
+            return Features(
+                xy=jnp.where(valid[:, None], xy, 0.0),
+                desc=jnp.where(valid[:, None], dd[top_idx], 0.0),
+                score=jnp.where(valid, top_score, 0.0),
+                angle=aa[top_idx],
+                valid=valid,
+            )
+
+        return jax.vmap(one)(score, x, y, ang, desc)
+
+    return merge
+
+
+def extract_blob_features(
+    images: jnp.ndarray,
+    *,
+    max_features: int = 2048,
+    scales: tuple = (1.6, 2.26, 3.2, 4.53),
+    threshold: float = 1e-7,
+    margin: int = 24,
+) -> Features:
+    """Batched DoH blob detection over (V, H, W) images -> Features (V, F).
+
+    The float-descriptor analogue of features/detect.py's binary pipeline;
+    descriptors are 64-dim L2-normalized, matched with metric="l2"
+    (features/match.py) at the legacy 0.7 ratio
+    (GPUSURFFeatureMatcher.cpp:120).
+    """
+    images = jnp.asarray(images, jnp.float32)
+    per_scale = max(max_features // len(scales), 256)
+    parts = [
+        _scale_kernel(float(s), per_scale, margin, float(threshold))(images)
+        for s in scales
+    ]
+    cat = lambda k: jnp.concatenate([p[k] for p in parts], axis=1)
+    return _merge_kernel(max_features)(cat(0), cat(1), cat(2), cat(3), cat(4))

@@ -94,13 +94,16 @@ def fast_harris_response(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     return resp
 
 
-def fast_harris_maps(img: jnp.ndarray, threshold: float):
+def fast_harris_maps(img: jnp.ndarray, threshold: float, score: str = "harris"):
     """(masked_response, dense_harris) maps.
 
     img: (H, W) float32 in [0, 1]; threshold on the same intensity scale
     (the reference's FAST threshold is on 0..255 bytes). masked_response
-    is the Harris score on FAST-9 corners and -inf elsewhere; dense_harris
-    is the unmasked Harris surface (for sub-pixel parabola fits).
+    is the corner score on FAST-9 corners and -inf elsewhere; the dense
+    surface is unmasked (for sub-pixel parabola fits). score="harris" is
+    cv::ORB's HARRIS_SCORE ranking; score="min_eig" is the Shi-Tomasi
+    minimum eigenvalue that the legacy goodFeaturesToTrack sparse-LK seed
+    uses (FeatureMatching.cpp:314-331).
     """
     center = img
     ring = jnp.stack(
@@ -128,8 +131,11 @@ def fast_harris_maps(img: jnp.ndarray, threshold: float):
     ixy = _sep_conv2d(ix * iy, g)
     det = ixx * iyy - ixy * ixy
     tr = ixx + iyy
-    harris = det - 0.04 * tr * tr
-    return jnp.where(is_corner, harris, -jnp.inf), harris
+    if score == "min_eig":
+        resp = 0.5 * tr - jnp.sqrt(jnp.maximum(0.25 * tr * tr - det, 0.0))
+    else:
+        resp = det - 0.04 * tr * tr
+    return jnp.where(is_corner, resp, -jnp.inf), resp
 
 
 def _nms3(resp: jnp.ndarray) -> jnp.ndarray:
@@ -237,11 +243,11 @@ def _brief_descriptors(
     return jnp.where(vals[:, :, 0] > vals[:, :, 1], 1.0, -1.0).astype(jnp.float32)
 
 
-def _detect_level(img, threshold: float, k: int, margin: int):
+def _detect_level(img, threshold: float, k: int, margin: int, score_kind: str = "harris"):
     """Top-k corners on one pyramid level with sub-pixel localization.
 
     Returns (score, y_float, x_float, y_int, x_int) of length k."""
-    masked, harris = fast_harris_maps(img, threshold)
+    masked, harris = fast_harris_maps(img, threshold, score=score_kind)
     resp = _nms3(masked)
     resp = jnp.where(_border_mask(img.shape, margin), resp, -jnp.inf)
     flat = resp.reshape(-1)
@@ -253,7 +259,8 @@ def _detect_level(img, threshold: float, k: int, margin: int):
     return score, yi.astype(jnp.float32) + dy, xi.astype(jnp.float32) + dx, yi, xi
 
 
-def _level_pipeline(imgs, *, threshold, per_level, margin, desc_bits, blur_sigma):
+def _level_pipeline(imgs, *, threshold, per_level, margin, desc_bits, blur_sigma,
+                    score_kind="harris"):
     """Detect + orient + describe one pyramid level for all views.
 
     imgs: (V, h, w). Returns per-view (score, x, y, ang, desc) arrays of
@@ -263,7 +270,8 @@ def _level_pipeline(imgs, *, threshold, per_level, margin, desc_bits, blur_sigma
 
     def one(img):
         smooth = _sep_conv2d(img, blur)
-        score, lyf, lxf, lyi, lxi = _detect_level(img, threshold, per_level, margin)
+        score, lyf, lxf, lyi, lxi = _detect_level(img, threshold, per_level, margin,
+                                                  score_kind)
         m10, m01 = _orientation_maps(smooth)
         ang = jnp.arctan2(m01[lyi, lxi], m10[lyi, lxi])
         desc = _brief_descriptors(smooth, lyf, lxf, ang, desc_bits)
@@ -274,13 +282,14 @@ def _level_pipeline(imgs, *, threshold, per_level, margin, desc_bits, blur_sigma
 
 @functools.lru_cache(maxsize=None)
 def _level_kernel(threshold: float, per_level: int, margin: int,
-                  desc_bits: int, blur_sigma: float):
+                  desc_bits: int, blur_sigma: float, score_kind: str = "harris"):
     """One jit-compiled program per pyramid level: compiling L small
     programs is far cheaper than one giant L-level unrolled graph (the
     monolithic version took minutes of XLA compile at full resolution)."""
     return jax.jit(functools.partial(
         _level_pipeline, threshold=threshold, per_level=per_level,
-        margin=margin, desc_bits=desc_bits, blur_sigma=blur_sigma))
+        margin=margin, desc_bits=desc_bits, blur_sigma=blur_sigma,
+        score_kind=score_kind))
 
 
 @functools.lru_cache(maxsize=None)
@@ -322,6 +331,7 @@ def extract_features(
     fast_threshold: float = 20.0 / 255.0,
     blur_sigma: float = 2.0,
     margin: int = 24,
+    score_kind: str = "harris",
 ) -> Features:
     """Batched detection over (V, H, W) grayscale images -> Features (V, F).
 
@@ -334,7 +344,7 @@ def extract_features(
     v, h, w = images.shape
     per_level = max(max_features // max(pyramid_levels, 1), 256)
     level_fn = _level_kernel(float(fast_threshold), per_level, margin,
-                             desc_bits, float(blur_sigma))
+                             desc_bits, float(blur_sigma), score_kind)
 
     scores, xs, ys, angs, descs = [], [], [], [], []
     for lvl in range(pyramid_levels):

@@ -39,6 +39,23 @@ def hamming_distance_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarr
     return 0.5 * (d - dots)
 
 
+def l2_distance_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarray:
+    """(F1, D) x (F2, D) float descriptors -> (F1, F2) Euclidean distances.
+
+    The MXU form of the legacy ``BruteForceMatcher_GPU<L2>``
+    (GPUSURFFeatureMatcher.cpp:100-124): |a-b|^2 = |a|^2 + |b|^2 - 2 a.b,
+    one f32 contraction plus rank-1 corrections.
+    """
+    dots = jax.lax.dot_general(
+        desc1, desc2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    n1 = jnp.sum(desc1 * desc1, axis=1)[:, None]
+    n2 = jnp.sum(desc2 * desc2, axis=1)[None, :]
+    return jnp.sqrt(jnp.maximum(n1 + n2 - 2.0 * dots, 0.0))
+
+
 def match_pair(
     desc1: jnp.ndarray,
     valid1: jnp.ndarray,
@@ -48,16 +65,19 @@ def match_pair(
     ratio: float = 0.8,
     cross_check: bool = False,
     max_matches: int = 1024,
+    metric: str = "hamming",
 ) -> Matches:
     """Match one view pair -> fixed-capacity Matches.
 
     kNN(k=2) + Lowe ratio test (best < ratio * second-best), the exact
     acceptance rule of the reference (SfM2DFeatureUtilities.cpp:60-68);
     optional mutual-nearest cross-check (legacy RichFeatureMatcher.cpp:81).
+    metric="l2" selects float-descriptor matching (legacy GPU-SURF path).
     The best ``max_matches`` accepted matches (by ascending distance) fill
     the static capacity; the rest are masked out.
     """
-    dist = hamming_distance_matrix(desc1, desc2)
+    dmat = l2_distance_matrix if metric == "l2" else hamming_distance_matrix
+    dist = dmat(desc1, desc2)
     dist = jnp.where(valid1[:, None] & valid2[None, :], dist, _BIG)
 
     # two smallest distances per left feature
@@ -91,6 +111,7 @@ def match_all_pairs(
     ratio: float = 0.8,
     cross_check: bool = False,
     max_matches: int = 1024,
+    metric: str = "hamming",
 ) -> Matches:
     """Match every (i, j) pair in one batched call -> Matches (P, M, ...).
 
@@ -109,6 +130,7 @@ def match_all_pairs(
             ratio=ratio,
             cross_check=cross_check,
             max_matches=max_matches,
+            metric=metric,
         )
 
     return jax.vmap(one)(pair_indices)

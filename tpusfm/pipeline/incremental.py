@@ -165,22 +165,33 @@ class SfMPipeline:
         # The optical-flow strategy uses single-scale detection like the
         # legacy FAST-only path (OFFeatureMatcher.cpp:60-62) — stacked
         # multi-scale duplicates of a corner defeat endpoint association.
-        levels = (1 if cfg.matcher in (MatcherKind.OPTICAL_FLOW, MatcherKind.DENSE)
+        levels = (1 if cfg.matcher in (MatcherKind.OPTICAL_FLOW, MatcherKind.DENSE,
+                                       MatcherKind.STEREO)
                   else cfg.pyramid_levels)
-        self._jit_extract = functools.partial(
-            extract_features,
-            max_features=cfg.max_features,
-            desc_bits=cfg.desc_bits,
-            pyramid_levels=levels,
-            pyramid_scale=cfg.pyramid_scale,
-            fast_threshold=cfg.fast_threshold / 255.0,
-        )
+        if cfg.matcher == MatcherKind.SURF:
+            # float-descriptor blob pipeline (legacy GPU-SURF path, L6)
+            from tpusfm.features.blob import extract_blob_features
+
+            self._jit_extract = functools.partial(
+                extract_blob_features, max_features=cfg.max_features)
+        else:
+            self._jit_extract = functools.partial(
+                extract_features,
+                max_features=cfg.max_features,
+                desc_bits=cfg.desc_bits,
+                pyramid_levels=levels,
+                pyramid_scale=cfg.pyramid_scale,
+                fast_threshold=cfg.fast_threshold / 255.0,
+                score_kind=cfg.detector_score,
+            )
         self._jit_match = jax.jit(
             functools.partial(
                 match_all_pairs,
-                ratio=cfg.match_ratio,
+                ratio=(cfg.match_ratio_flow if cfg.matcher == MatcherKind.SURF
+                       else cfg.match_ratio),
                 cross_check=cfg.cross_check,
                 max_matches=cfg.max_matches,
+                metric=("l2" if cfg.matcher == MatcherKind.SURF else "hamming"),
             )
         )
         # fused Pallas matcher: TPU only (CPU fallback is the jnp path);
@@ -189,6 +200,7 @@ class SfMPipeline:
             cfg.use_pallas_matcher
             and jax.default_backend() != "cpu"
             and not cfg.cross_check
+            and cfg.matcher == MatcherKind.RICH
             and cfg.max_features % 256 == 0
         )
         if self._use_pallas_matcher:
@@ -325,7 +337,8 @@ class SfMPipeline:
         pairs = [(i, j) for i in range(self.V) for j in range(i + 1, self.V)]
         self.pairs = pairs
         self.pair_of = {p: n for n, p in enumerate(pairs)}
-        if self.cfg.matcher in (MatcherKind.OPTICAL_FLOW, MatcherKind.DENSE):
+        if self.cfg.matcher in (MatcherKind.OPTICAL_FLOW, MatcherKind.DENSE,
+                                MatcherKind.STEREO):
             self._match_optical_flow()
             return
         idx_chunks, valid_chunks = [], []
@@ -381,6 +394,7 @@ class SfMPipeline:
         from tpusfm.config import MatcherKind
         from tpusfm.features.dense import match_pair_dense
         from tpusfm.features.optical_flow import match_pair_optical_flow
+        from tpusfm.features.stereo import match_pair_disparity
 
         t0 = time.perf_counter()
         if not hasattr(self, "_jit_of_match"):
@@ -388,6 +402,12 @@ class SfMPipeline:
             if cfg.matcher == MatcherKind.DENSE:
                 self._jit_of_match = jax.jit(functools.partial(
                     match_pair_dense,
+                    max_matches=cfg.max_matches,
+                ))
+            elif cfg.matcher == MatcherKind.STEREO:
+                self._jit_of_match = jax.jit(functools.partial(
+                    match_pair_disparity,
+                    max_disparity=cfg.max_disparity,
                     max_matches=cfg.max_matches,
                 ))
             else:
