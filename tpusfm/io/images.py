@@ -94,3 +94,19 @@ def load_image_directory(directory: str, downscale: float = 1.0) -> ImageSet:
         0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     ).astype(np.float32) / 255.0
     return ImageSet(gray=gray, rgb=rgb, paths=paths)
+
+
+def load_image(path: str, downscale: float = 1.0):
+    """Load a single image -> (gray (H, W) float32 [0,1], rgb (H, W, 3) u8)."""
+    img = _load_one(path)
+    if downscale and downscale != 1.0:
+        from PIL import Image
+
+        h, w = img.shape[:2]
+        img = np.asarray(Image.fromarray(img).resize(
+            (int(round(w / downscale)), int(round(h / downscale))), Image.BILINEAR))
+    rgb = img.astype(np.uint8)
+    gray = (
+        0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    ).astype(np.float32) / 255.0
+    return gray, rgb
