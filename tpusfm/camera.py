@@ -76,6 +76,28 @@ def matrix_to_rodrigues(R: jnp.ndarray) -> jnp.ndarray:
     return v * scale
 
 
+def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues exponential (3,) -> (3,3), autodiff-safe at w = 0.
+
+    Unlike :func:`rodrigues_to_matrix` this never divides the axis vector
+    by theta, so forward/reverse derivatives at the identity are exact and
+    finite — required by the manifold Gauss-Newton refiners that linearize
+    around w = 0 every iteration (geometry/essential.py).
+    """
+    th2 = jnp.sum(w * w)
+    safe = th2 > 1e-12
+    th = jnp.sqrt(jnp.where(safe, th2, 1.0))
+    A = jnp.where(safe, jnp.sin(th) / th, 1.0 - th2 / 6.0)
+    B = jnp.where(safe, (1.0 - jnp.cos(th)) / jnp.where(safe, th2, 1.0),
+                  0.5 - th2 / 24.0)
+    Wx = jnp.array([
+        [0.0, -w[2], w[1]],
+        [w[2], 0.0, -w[0]],
+        [-w[1], w[0], 0.0],
+    ])
+    return jnp.eye(3, dtype=w.dtype) + A * Wx + B * (Wx @ Wx)
+
+
 def rotate_angle_axis(rvec: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Rotate point p (3,) by angle-axis rvec (3,) without forming R.
 

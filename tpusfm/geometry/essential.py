@@ -62,6 +62,79 @@ def essential_8pt(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = None
     return E / jnp.maximum(jnp.linalg.norm(E), _EPS)
 
 
+def _sampson_signed(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Signed first-order Sampson residual (N,) — the GN refiner's residual."""
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=1)
+    x2h = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=1)
+    Ex1 = x1h @ E.T
+    Etx2 = x2h @ E
+    num = jnp.sum(x2h * Ex1, axis=1)
+    den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    return num / jnp.sqrt(jnp.maximum(den, _EPS))
+
+
+def refine_essential(
+    E0: jnp.ndarray,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    iters: int = 8,
+) -> jnp.ndarray:
+    """Levenberg-Marquardt on weighted Sampson error over the essential
+    manifold: E = [t]x R, 5 dof (R in SO(3), t on the unit sphere).
+
+    This is the step the reference gets implicitly from cv::findEssentialMat's
+    5-point minimal solver (SfMStereoUtilities.cpp:97): a model that is
+    geometrically optimal *within* the essential manifold. A linear 8-point
+    fit followed by the diag(1,1,0) projection is NOT — with a guessed
+    focal (SfM.cpp:70-74 hardcodes f=2500) the projection alone can move
+    the model several pixels, collapsing the inlier set at a 1 px gate.
+    Measured on crazyhorse full-res matches: 8pt+projection scores 0-9%
+    inliers where cv2's 5-point scores ~76-80%; this refiner reaches
+    74-82% from the same 8pt init.
+
+    w: (N,) float weights (0 = ignore). Returns the refined E (unit norm);
+    falls back to E0 when fewer than 8 points carry weight.
+    """
+    cands = decompose_essential_hz(E0)
+    Rt, _ = pick_pose_by_cheirality(cands, x1, x2, w > 0)
+    R, t = Rt[:, :3], Rt[:, 3]
+    t = t / jnp.maximum(jnp.linalg.norm(t), _EPS)
+
+    def retract(theta, R, t):
+        Rn = camera.exp_so3(theta[:3]) @ R
+        dt = theta[3:]
+        tn = t + dt - t * jnp.dot(t, dt)      # project step to tangent of S^2
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn), _EPS)
+        return Rn, tn
+
+    def resid(theta, R, t):
+        Rn, tn = retract(theta, R, t)
+        return _sampson_signed(skew(tn) @ Rn, x1, x2) * w
+
+    def body(carry, _):
+        R, t, lam = carry
+        z = jnp.zeros(6, dtype=x1.dtype)
+        r = resid(z, R, t)
+        J = jax.jacfwd(resid)(z, R, t)                      # (N, 6)
+        H = J.T @ J + lam * jnp.eye(6, dtype=x1.dtype)
+        step = -jnp.linalg.solve(H, J.T @ r)
+        r_new = resid(step, R, t)
+        better = (jnp.sum(r_new * r_new) < jnp.sum(r * r)) & jnp.all(jnp.isfinite(step))
+        lam = jnp.where(better, lam * 0.3, lam * 10.0)
+        theta = jnp.where(better, step, jnp.zeros(6, dtype=x1.dtype))
+        R, t = retract(theta, R, t)
+        return (R, t, lam), None
+
+    (R, t, _), _ = jax.lax.scan(body, (R, t, jnp.asarray(1e-3, x1.dtype)), None,
+                                length=iters)
+    E = skew(t) @ R
+    E = E / jnp.maximum(jnp.linalg.norm(E), _EPS)
+    ok = (jnp.sum(w > 0) >= 8) & jnp.all(jnp.isfinite(E))
+    return jnp.where(ok, E, E0)
+
+
 def sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     """First-order geometric (Sampson) epipolar distance, (N,).
 
@@ -177,12 +250,16 @@ def epipolar_inliers(
         return sampson_error(E, p1, p2)
 
     def refit(E, w, p1, p2):
-        return essential_8pt(p1, p2, w)
+        # fewer GN iters than the pose path: the prune gate is 3x laxer
+        # and this kernel is batched over every pair (compile size)
+        return refine_essential(essential_8pt(p1, p2, w), p1, p2, w, iters=4)
 
     _, inl, _ = ransac(
         key, (x1, x2), mask,
         solver=solver, scorer=scorer, refit=refit,
         sample_size=8, hypotheses=hypotheses, threshold=thr,
+        lo_multipliers=(8.0, 4.0, 2.0, 1.0),
+        lo_candidates=2,
     )
     return inl & mask
 
@@ -253,12 +330,14 @@ def find_camera_from_match(
         return sampson_error(E, p1, p2)
 
     def refit(E, w, p1, p2):
-        return essential_8pt(p1, p2, w)
+        return refine_essential(essential_8pt(p1, p2, w), p1, p2, w)
 
     E, epi_inl, _ = ransac(
         key, (x1, x2), mask,
         solver=solver, scorer=scorer, refit=refit,
         sample_size=8, hypotheses=hypotheses, threshold=thr,
+        lo_multipliers=(16.0, 8.0, 4.0, 2.0, 1.0, 1.0),
+        lo_candidates=4,
     )
     decompose = decompose_essential_horn90 if use_horn else decompose_essential_hz
     candidates = decompose(E)

@@ -42,6 +42,8 @@ def ransac(
     hypotheses: int,
     threshold: float,
     refit: Callable | None = None,  # (model, inlier_w, *data) -> model
+    lo_multipliers: Tuple[float, ...] = (4.0, 2.0, 1.0),
+    lo_candidates: int = 1,
 ):
     """Batched-hypothesis RANSAC.
 
@@ -60,15 +62,20 @@ def ransac(
     counts = jnp.where(ok, counts, -1)
     best = jnp.argmax(counts)
 
-    model = jax.tree.map(lambda m: m[best], models)
-    inlier_mask = inl[best]
-    if refit is not None:
-        # Locally-optimized refinement (LO-RANSAC, Chum et al.): minimal
-        # models amplify noise, so their consensus sets are biased. Refit
-        # on inliers gathered at an annealed (shrinking) threshold, then
-        # keep whichever model maximizes inliers at the true threshold.
-        def one_round(state, mult):
-            model, inlier_mask = state
+    if refit is None:
+        model = jax.tree.map(lambda m: m[best], models)
+        inlier_mask = inl[best]
+        return model, inlier_mask, jnp.sum(inlier_mask)
+
+    # Locally-optimized refinement (LO-RANSAC, Chum et al.): minimal
+    # models amplify noise, so their consensus sets are biased. Refit
+    # on inliers gathered at an annealed (shrinking) threshold, then
+    # keep whichever model maximizes inliers at the true threshold.
+    # Refining the top lo_candidates hypotheses (not just the winner)
+    # explores several basins — the winner by raw count is often NOT the
+    # one whose locally-optimized model scores best.
+    def lo_chain(model, inlier_mask):
+        for mult in lo_multipliers:
             w = ((scorer(model, *data) < threshold * mult) & mask).astype(jnp.float32)
             cand = refit(model, w, *data)
             r2 = scorer(cand, *data)
@@ -77,11 +84,18 @@ def ransac(
             better = jnp.sum(inl2) >= jnp.sum(inlier_mask)
             model = jax.tree.map(lambda a, b: jnp.where(better, a, b), cand, model)
             inlier_mask = jnp.where(better, inl2, inlier_mask)
-            return (model, inlier_mask)
+        return model, inlier_mask, jnp.sum(inlier_mask)
 
-        for mult in (4.0, 2.0, 1.0):
-            model, inlier_mask = one_round((model, inlier_mask), mult)
-    return model, inlier_mask, jnp.sum(inlier_mask)
+    if lo_candidates <= 1:
+        model, inlier_mask, n = lo_chain(jax.tree.map(lambda m: m[best], models),
+                                         inl[best])
+        return model, inlier_mask, n
+
+    t = min(lo_candidates, hypotheses)
+    _, top = jax.lax.top_k(counts, t)
+    ms, is_, ns = jax.vmap(lo_chain)(jax.tree.map(lambda m: m[top], models), inl[top])
+    b = jnp.argmax(ns)
+    return jax.tree.map(lambda m: m[b], ms), is_[b], ns[b]
 
 
 def adaptive_num_hypotheses(inlier_ratio: float, sample_size: int, confidence: float = 0.999) -> int:
