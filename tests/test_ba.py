@@ -108,3 +108,24 @@ def test_ba_masked_points_and_cams_stay_fixed():
     sol, _ = lm_solve(p2, max_iterations=30)
     np.testing.assert_allclose(np.asarray(sol.points[0]), np.asarray(prob.points[0]))
     np.testing.assert_allclose(np.asarray(sol.cams[2]), np.asarray(prob.cams[2]))
+
+
+def test_ba_refine_pp_recovers_principal_point():
+    """refine_pp mode (legacy SSBA FULL_BUNDLE_FOCAL_LENGTH_PP,
+    BundleAdjuster.cpp:219): BA recovers a principal point that was
+    deliberately shifted by (6, -4) px in the initial K."""
+    prob, pts, Rt, intr = _build_problem(n_pts=80)
+    V = Rt.shape[0]
+    shift = jnp.asarray([6.0, -4.0], jnp.float32)
+    K_wrong = jnp.asarray(intr.K).at[:2, 2].add(shift)
+    uv = prob.uv + intr.pp[None, None, :]  # back to raw pixels
+    Rt_out, pts_out, K_out, summary = adjust_bundle(
+        Rt, prob.cam_valid, prob.points, prob.pt_valid, uv, prob.mask,
+        K_wrong, max_iterations=60, refine_pp=True)
+    got_pp = np.asarray(K_out[:2, 2])
+    np.testing.assert_allclose(got_pp, np.asarray(intr.pp), atol=0.5)
+    # without refine_pp the wrong pp must stay put
+    _, _, K_fixed, _ = adjust_bundle(
+        Rt, prob.cam_valid, prob.points, prob.pt_valid, uv, prob.mask,
+        K_wrong, max_iterations=10, refine_pp=False)
+    np.testing.assert_allclose(np.asarray(K_fixed[:2, 2]), np.asarray(K_wrong[:2, 2]))

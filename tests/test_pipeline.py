@@ -64,3 +64,23 @@ def test_ply_export(tmp_path, reconstruction):
     assert f"element vertex {reconstruction.num_points}" in pts
     cams = open(prefix + "_cameras.ply").read()
     assert "element edge" in cams
+
+
+def test_select_points_sor(reconstruction):
+    from tpusfm.viz import sor_filter_mask
+
+    keep = sor_filter_mask(reconstruction.xyz)
+    sub = reconstruction.select_points(keep)
+    assert sub.num_points == int(keep.sum())
+    assert sub.obs.shape[0] == sub.num_points
+    assert sub.pose_valid.shape == reconstruction.pose_valid.shape
+
+
+def test_cli_parser_flags():
+    from tpusfm.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["imgs", "--downscale", "2", "--sor-filter", "--pcd", "--html",
+         "--matcher", "of", "--decomposition", "horn"])
+    assert args.downscale == 2.0 and args.sor_filter and args.pcd
+    assert args.matcher == "of" and args.decomposition == "horn"

@@ -30,3 +30,41 @@ def test_html_viewer(tmp_path):
     html = open(p).read()
     assert "500 points" in html and "2 cameras" in html
     assert html.count("rgb(") >= 1
+
+
+def test_sor_filter_removes_outliers():
+    from tpusfm.viz import sor_filter, sor_filter_mask
+
+    rng = np.random.default_rng(2)
+    dense = rng.normal(0, 0.5, (400, 3)).astype(np.float32)
+    outliers = rng.uniform(50, 60, (12, 3)).astype(np.float32)
+    pts = np.concatenate([dense, outliers])
+    mask = sor_filter_mask(pts, mean_k=50, stddev_mult=1.0)
+    # every far outlier removed, vast majority of the dense blob kept
+    assert not mask[400:].any()
+    assert mask[:400].sum() >= 360
+
+    colors = np.tile(np.arange(len(pts))[:, None], (1, 3)).astype(np.uint8)
+    fpts, fcol = sor_filter(pts, colors)
+    assert fpts.shape[0] == fcol.shape[0] == mask.sum()
+
+
+def test_sor_filter_respects_valid_and_small_clouds():
+    from tpusfm.viz import sor_filter_mask
+
+    pts = np.random.default_rng(0).normal(size=(30, 3)).astype(np.float32)
+    valid = np.ones(30, bool)
+    valid[5] = False
+    # fewer valid points than mean_k: no-op passthrough of valid mask
+    mask = sor_filter_mask(pts, valid, mean_k=50)
+    assert (mask == valid).all()
+
+
+def test_voxel_grid_filter():
+    from tpusfm.viz import voxel_grid_filter
+
+    pts = np.array([[0.01, 0.01, 0.01], [0.02, 0.03, 0.02], [5.0, 5.0, 5.0]], np.float32)
+    out = voxel_grid_filter(pts, leaf_size=0.1)
+    assert out.shape == (2, 3)
+    near = out[np.argmin(np.abs(out).sum(1))]
+    np.testing.assert_allclose(near, pts[:2].mean(0), atol=1e-5)

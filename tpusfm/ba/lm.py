@@ -40,6 +40,9 @@ class BAProblem(NamedTuple):
     mask: jnp.ndarray       # (N, V) bool observation grid
     cam_valid: jnp.ndarray  # (V,) bool registered cameras
     pt_valid: jnp.ndarray   # (N,) bool live map points
+    # Shared principal-point correction, refined only in refine_pp mode
+    # (SSBA FULL_BUNDLE_FOCAL_LENGTH_PP parity, BundleAdjuster.cpp:219).
+    pp_delta: jnp.ndarray | None = None
 
 
 class BASummary(NamedTuple):
@@ -49,25 +52,32 @@ class BASummary(NamedTuple):
     converged: jnp.ndarray
 
 
-def _residual_one(cam: jnp.ndarray, X: jnp.ndarray, focal: jnp.ndarray, uv: jnp.ndarray):
+def _residual_one(cam: jnp.ndarray, X: jnp.ndarray, focal: jnp.ndarray, uv: jnp.ndarray,
+                  pp_delta: jnp.ndarray | None = None):
     """The reference BA residual (SfMBundleAdjustmentUtils.cpp:58-97):
     angle-axis rotate, translate, perspective divide, scale by shared focal;
-    principal point already subtracted from uv."""
+    principal point already subtracted from uv. pp_delta is the shared
+    principal-point correction (zero in modern-Ceres-parity mode)."""
     p = camera.rotate_angle_axis(cam[:3], X) + cam[3:]
     z = p[2]
     zsafe = jnp.where(jnp.abs(z) < 1e-8, jnp.where(z < 0, -1e-8, 1e-8), z)
     proj = p[:2] / zsafe * focal
+    if pp_delta is not None:
+        proj = proj + pp_delta
     return proj - uv
 
 
 def _residuals_and_jacobians(prob: BAProblem):
     """Dense-grid residuals + Jacobians, masked.
 
-    Returns r (N,V,2), Jc (N,V,2,6), Jp (N,V,2,3), Jf (N,V,2), w (N,V).
+    Returns r (N,V,2), Jc (N,V,2,6), Jp (N,V,2,3), Jg (N,V,2,3), w (N,V).
+    Jg stacks the shared-intrinsics Jacobian columns [focal, ppx, ppy];
+    d r / d pp is the 2x2 identity analytically (residual is affine in
+    pp_delta), so only the focal column needs autodiff.
     """
 
     def one(cam, X, uv):
-        f = lambda c, x, fo: _residual_one(c, x, fo, uv)
+        f = lambda c, x, fo: _residual_one(c, x, fo, uv, prob.pp_delta)
         r = f(cam, X, prob.focal)
         Jc, Jp, Jf = jax.jacfwd(f, argnums=(0, 1, 2))(cam, X, prob.focal)
         return r, Jc, Jp, Jf
@@ -75,8 +85,10 @@ def _residuals_and_jacobians(prob: BAProblem):
     over_v = jax.vmap(one, in_axes=(0, None, 0))        # over views
     over_n = jax.vmap(over_v, in_axes=(None, 0, 0))     # over points
     r, Jc, Jp, Jf = over_n(prob.cams, prob.points, prob.uv)
+    Jpp = jnp.broadcast_to(jnp.eye(2, dtype=r.dtype), r.shape[:2] + (2, 2))
+    Jg = jnp.concatenate([Jf[..., None], Jpp], axis=-1)
     w = (prob.mask & prob.pt_valid[:, None] & prob.cam_valid[None, :]).astype(r.dtype)
-    return r, Jc, Jp, Jf, w
+    return r, Jc, Jp, Jg, w
 
 
 def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
@@ -106,9 +118,10 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return adj / det[..., None, None]
 
 
-def _cost_only(cams, points, focal, prob: BAProblem, axis_name: str | None = None) -> jnp.ndarray:
+def _cost_only(cams, points, focal, prob: BAProblem, axis_name: str | None = None,
+               pp_delta: jnp.ndarray | None = None) -> jnp.ndarray:
     def one(cam, X, uv):
-        return _residual_one(cam, X, focal, uv)
+        return _residual_one(cam, X, focal, uv, pp_delta)
 
     r = jax.vmap(jax.vmap(one, in_axes=(0, None, 0)), in_axes=(None, 0, 0))(
         cams, points, prob.uv
@@ -146,51 +159,59 @@ def _cg_solve(A: jnp.ndarray, b: jnp.ndarray, extra_iters: int = 8) -> jnp.ndarr
     return x
 
 
-def _lm_step(prob: BAProblem, lam: jnp.ndarray, share_focal: bool, axis_name: str | None = None):
-    """One damped normal-equation solve. Returns (d_cams, d_points, d_focal).
+def _lm_step(prob: BAProblem, lam: jnp.ndarray, share_focal: bool,
+             refine_pp: bool = False, axis_name: str | None = None):
+    """One damped normal-equation solve.
+    Returns (d_cams, d_points, d_focal, d_pp).
+
+    The shared-intrinsics block g = [focal, ppx, ppy] is 3-wide; ppx/ppy
+    columns are frozen unless refine_pp (legacy SSBA's
+    FULL_BUNDLE_FOCAL_LENGTH_PP mode, BundleAdjuster.cpp:219).
 
     With ``axis_name`` set (inside a shard_map whose shards split the point
     axis N), this is the distributed Schur solve of SURVEY.md §2.3: every
-    device reduces its local observations into the (6V+1) camera+focal
+    device reduces its local observations into the (6V+3) camera+intrinsics
     system, a single psum over ICI forms the global reduced system, the
     dense solve is replicated, and point back-substitution stays local —
     no per-point communication at all.
     """
-    r, Jc, Jp, Jf, w = _residuals_and_jacobians(prob)
+    r, Jc, Jp, Jg, w = _residuals_and_jacobians(prob)
     V = prob.cams.shape[0]
+    G = 3
 
     wJc = Jc * w[..., None, None]
     wJp = Jp * w[..., None, None]
-    wJf = Jf * w[..., None]
+    wJg = Jg * w[..., None, None]
 
-    # Camera (+focal) blocks of H and g
+    # Camera (+intrinsics) blocks of H and g
     U = jnp.einsum("nvia,nvib->vab", wJc, Jc)          # (V,6,6)
-    U_cf = jnp.einsum("nvia,nvi->va", wJc, Jf)          # (V,6)
-    U_ff = jnp.sum(wJf * Jf)
+    U_cg = jnp.einsum("nvia,nvig->vag", wJc, Jg)        # (V,6,G)
+    U_gg = jnp.einsum("nvig,nvih->gh", wJg, Jg)         # (G,G)
     b_c = jnp.einsum("nvia,nvi->va", wJc, r)            # (V,6)
-    b_f = jnp.sum(wJf * r)
+    b_g = jnp.einsum("nvig,nvi->g", wJg, r)             # (G,)
 
     # Point blocks
     C = jnp.einsum("nvia,nvib->nab", wJp, Jp)           # (N,3,3)
     b_p = jnp.einsum("nvia,nvi->na", wJp, r)            # (N,3)
 
-    # Camera-point and focal-point couplings
+    # Camera-point and intrinsics-point couplings
     Kb = jnp.einsum("nvia,nvib->nvab", wJc, Jp)         # (N,V,6,3)
-    Wf = jnp.einsum("nvi,nvia->na", wJf, Jp)            # (N,3)
+    Wg = jnp.einsum("nvig,nvia->nag", wJg, Jp)          # (N,3,G)
 
     if axis_name is not None:
         # Observation-sharded: camera-side reductions span all shards.
-        # (Point blocks C/b_p/Kb/Wf are local — each point lives wholly on
+        # (Point blocks C/b_p/Kb/Wg are local — each point lives wholly on
         # one shard.) Damping and the Schur cross terms are linear in these
         # per-shard sums, so a single fused psum here is exact.
-        U, U_cf, U_ff, b_c, b_f = jax.lax.psum((U, U_cf, U_ff, b_c, b_f), axis_name)
+        U, U_cg, U_gg, b_c, b_g = jax.lax.psum((U, U_cg, U_gg, b_c, b_g), axis_name)
 
     # Ceres-style multiplicative damping on the diagonals
     eye6 = jnp.eye(6, dtype=U.dtype)
     eye3 = jnp.eye(3, dtype=C.dtype)
+    eyeG = jnp.eye(G, dtype=U.dtype)
     Ud = U + lam * (U * eye6) + 1e-8 * eye6
     Cd = C + lam * (C * eye3) + 1e-8 * eye3
-    Uffd = U_ff * (1.0 + lam) + 1e-8
+    Uggd = U_gg + lam * (U_gg * eyeG) + 1e-8 * eyeG
 
     Cinv = _inv3x3(Cd)
 
@@ -199,33 +220,35 @@ def _lm_step(prob: BAProblem, lam: jnp.ndarray, share_focal: bool, axis_name: st
     # global) camera blocks.
     KC = jnp.einsum("nvab,nbc->nvac", Kb, Cinv)         # (N,V,6,3)
     X_cc = jnp.einsum("nvac,nwbc->vawb", KC, Kb)        # (V,6,V,6) cross terms
-    X_cf = jnp.einsum("nvac,nc->va", KC, Wf)            # (V,6)
-    WfC = jnp.einsum("na,nab->nb", Wf, Cinv)            # (N,3)
-    X_ff = jnp.sum(WfC * Wf)
+    X_cg = jnp.einsum("nvac,ncg->vag", KC, Wg)          # (V,6,G)
+    WgC = jnp.einsum("nag,nab->nbg", Wg, Cinv)          # (N,3,G)
+    X_gg = jnp.einsum("nbg,nbh->gh", WgC, Wg)           # (G,G)
     X_c = jnp.einsum("nvac,nc->va", KC, b_p)
-    X_f = jnp.sum(WfC * b_p)
+    X_g = jnp.einsum("nbg,nb->g", WgC, b_p)
     if axis_name is not None:
-        X_cc, X_cf, X_ff, X_c, X_f = jax.lax.psum(
-            (X_cc, X_cf, X_ff, X_c, X_f), axis_name
+        X_cc, X_cg, X_gg, X_c, X_g = jax.lax.psum(
+            (X_cc, X_cg, X_gg, X_c, X_g), axis_name
         )
     S_cc = -X_cc
     S_cc = S_cc.at[jnp.arange(V), :, jnp.arange(V), :].add(Ud)
-    S_cf = U_cf - X_cf
-    S_ff = Uffd - X_ff
+    S_cg = U_cg - X_cg
+    S_gg = Uggd - X_gg
     rhs_c = b_c - X_c
-    rhs_f = b_f - X_f
+    rhs_g = b_g - X_g
 
-    # Assemble the reduced (6V+1) system; mask unregistered cameras to identity
-    n = 6 * V + 1
+    # Assemble the reduced (6V+G) system; mask unregistered cameras and
+    # frozen intrinsic columns to identity
+    n = 6 * V + G
     S = jnp.zeros((n, n), U.dtype)
     S = S.at[: 6 * V, : 6 * V].set(S_cc.reshape(6 * V, 6 * V))
-    S = S.at[: 6 * V, 6 * V].set(S_cf.reshape(-1))
-    S = S.at[6 * V, : 6 * V].set(S_cf.reshape(-1))
-    S = S.at[6 * V, 6 * V].set(S_ff if share_focal else 1.0)
-    rhs = jnp.concatenate([rhs_c.reshape(-1), rhs_f.reshape(1) if share_focal else jnp.zeros((1,), U.dtype)])
+    S = S.at[: 6 * V, 6 * V :].set(S_cg.reshape(6 * V, G))
+    S = S.at[6 * V :, : 6 * V].set(S_cg.reshape(6 * V, G).T)
+    S = S.at[6 * V :, 6 * V :].set(S_gg)
+    rhs = jnp.concatenate([rhs_c.reshape(-1), rhs_g])
 
     cam_free = jnp.repeat(prob.cam_valid, 6)
-    free = jnp.concatenate([cam_free, jnp.array([bool(share_focal)])]).astype(U.dtype)
+    g_free = jnp.array([bool(share_focal), bool(refine_pp), bool(refine_pp)])
+    free = jnp.concatenate([cam_free, g_free]).astype(U.dtype)
     S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
     rhs = rhs * free
 
@@ -240,14 +263,14 @@ def _lm_step(prob: BAProblem, lam: jnp.ndarray, share_focal: bool, axis_name: st
     delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
 
     d_cams = delta[: 6 * V].reshape(V, 6)
-    d_focal = delta[6 * V]
+    d_g = delta[6 * V :]
 
     # Back-substitute the point updates
     Kd = jnp.einsum("nvab,va->nb", Kb, d_cams)          # (N,3)
-    d_points = jnp.einsum("nab,nb->na", Cinv, b_p - Kd - Wf * d_focal)
+    d_points = jnp.einsum("nab,nb->na", Cinv, b_p - Kd - jnp.einsum("nag,g->na", Wg, d_g))
     d_points = jnp.where(prob.pt_valid[:, None], d_points, 0.0)
     d_points = jnp.where(jnp.isfinite(d_points), d_points, 0.0)
-    return d_cams, d_points, d_focal
+    return d_cams, d_points, d_g[0], d_g[1:]
 
 
 def lm_solve(
@@ -257,6 +280,7 @@ def lm_solve(
     function_tolerance: float = 1e-6,
     initial_lambda: float = 1e-3,
     share_focal: bool = True,
+    refine_pp: bool = False,
     axis_name: str | None = None,
 ):
     """Levenberg-Marquardt driver (jit-friendly lax.while_loop).
@@ -265,8 +289,13 @@ def lm_solve(
     cost is accepted and lambda shrinks; otherwise lambda grows and the step
     retries. Convergence = relative cost decrease below function_tolerance
     (Ceres function_tolerance role, SfMBundleAdjustmentUtils.cpp:174).
+    refine_pp additionally optimizes a shared principal-point correction
+    (legacy SSBA FULL_BUNDLE_FOCAL_LENGTH_PP, BundleAdjuster.cpp:219).
     """
-    cost0 = _cost_only(prob.cams, prob.points, prob.focal, prob, axis_name)
+    if prob.pp_delta is None:
+        prob = prob._replace(pp_delta=jnp.zeros((2,), prob.cams.dtype))
+    cost0 = _cost_only(prob.cams, prob.points, prob.focal, prob, axis_name,
+                       pp_delta=prob.pp_delta)
 
     def cond(state):
         it, _, _, _, done = state
@@ -274,16 +303,19 @@ def lm_solve(
 
     def body(state):
         it, p, lam, cost, done = state
-        d_cams, d_points, d_focal = _lm_step(p, lam, share_focal, axis_name)
+        d_cams, d_points, d_focal, d_pp = _lm_step(p, lam, share_focal, refine_pp, axis_name)
         new_cams = p.cams - d_cams
         new_points = p.points - d_points
         new_focal = p.focal - d_focal
-        new_cost = _cost_only(new_cams, new_points, new_focal, p, axis_name)
+        new_pp = p.pp_delta - d_pp
+        new_cost = _cost_only(new_cams, new_points, new_focal, p, axis_name,
+                              pp_delta=new_pp)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
         p2 = p._replace(
             cams=jnp.where(accept, new_cams, p.cams),
             points=jnp.where(accept, new_points, p.points),
             focal=jnp.where(accept, new_focal, p.focal),
+            pp_delta=jnp.where(accept, new_pp, p.pp_delta),
         )
         lam2 = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10), jnp.minimum(lam * 4.0, 1e8))
         rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, _EPS)
@@ -301,7 +333,7 @@ def reprojection_rms(prob: BAProblem) -> jnp.ndarray:
     """Root-mean-square reprojection error (pixels) over valid observations."""
 
     def one(cam, X, uv):
-        return _residual_one(cam, X, prob.focal, uv)
+        return _residual_one(cam, X, prob.focal, uv, prob.pp_delta)
 
     r = jax.vmap(jax.vmap(one, in_axes=(0, None, 0)), in_axes=(None, 0, 0))(
         prob.cams, prob.points, prob.uv
@@ -323,6 +355,7 @@ def adjust_bundle(
     max_iterations: int = 50,
     function_tolerance: float = 1e-6,
     share_focal: bool = True,
+    refine_pp: bool = False,
 ):
     """High-level BA matching the reference adjustBundle API
     (SfMBundleAdjustmentUtils.h:35-50): takes poses + cloud + observations
@@ -331,6 +364,8 @@ def adjust_bundle(
     Principal point is subtracted up front (reference :152-153); the shared
     focal is optimized and written back to K (:188-189). Like the reference
     (:182-185), the caller should discard results when converged is False.
+    refine_pp also optimizes the principal point and writes it back to K
+    (legacy SSBA FULL_BUNDLE_FOCAL_LENGTH_PP, BundleAdjuster.cpp:219,267-296).
     """
     V = poses_Rt.shape[0]
     rvecs = camera.matrix_to_rodrigues_b(poses_Rt[:, :, :3].reshape(V, 3, 3))
@@ -350,8 +385,11 @@ def adjust_bundle(
         max_iterations=max_iterations,
         function_tolerance=function_tolerance,
         share_focal=share_focal,
+        refine_pp=refine_pp,
     )
     R = camera.rodrigues_to_matrix_b(sol.cams[:, :3])
     out_Rt = jnp.concatenate([R, sol.cams[:, 3:, None]], axis=2)
     newK = K.at[0, 0].set(sol.focal).at[1, 1].set(sol.focal)
+    if refine_pp:
+        newK = newK.at[:2, 2].set(pp + sol.pp_delta)
     return out_Rt, sol.points, newK, summary

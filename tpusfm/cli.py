@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "dense=grid dense-flow field")
     p.add_argument("--decomposition", choices=["svd", "horn"], default="svd",
                    help="essential decomposition (FindCameraMatrices.cpp:45)")
+    p.add_argument("--ba-refine-pp", action="store_true",
+                   help="also refine the principal point in BA (legacy SSBA "
+                        "FULL_BUNDLE_FOCAL_LENGTH_PP, BundleAdjuster.cpp:219)")
     p.add_argument("--no-ba-focal", action="store_true",
                    help="fix the shared focal during BA")
     p.add_argument("--pcd", action="store_true",
@@ -53,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--html", action="store_true",
                    help="also export an interactive HTML viewer "
                         "(stand-in for the legacy PCL/Qt viewers)")
+    p.add_argument("--sor-filter", action="store_true",
+                   help="statistical outlier removal before export "
+                        "(meanK=50, stddev=1.0; the legacy viewer's 's'-key "
+                        "toggle, legacy/Visualization.cpp:121-153)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -78,6 +85,7 @@ def main(argv=None) -> int:
         decomposition=(EssentialDecomposition.HORN90 if args.decomposition == "horn"
                        else EssentialDecomposition.SVD_HZ),
         ba_share_focal=not args.no_ba_focal,
+        ba_refine_pp=args.ba_refine_pp,
     )
     if args.focal is not None:
         cfg.default_focal = args.focal
@@ -90,6 +98,12 @@ def main(argv=None) -> int:
     pipe = SfMPipeline(imgs.gray, cfg, images_rgb=imgs.rgb,
                        intrinsics=intr, seed=args.seed)
     rec = pipe.run()
+    if args.sor_filter:
+        from tpusfm.viz import sor_filter_mask
+
+        keep = sor_filter_mask(rec.xyz)
+        print(f"SOR filter: {len(keep)} -> {int(keep.sum())} points")
+        rec = rec.select_points(keep)
     rec.save_ply(args.output_prefix)
     if args.pcd:
         from tpusfm.io import save_pcd

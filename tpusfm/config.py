@@ -91,6 +91,9 @@ class SfMConfig:
     ba_function_tolerance: float = 1e-6
     ba_initial_lambda: float = 1e-3
     ba_share_focal: bool = True               # one shared focal scalar (:138,164)
+    ba_refine_pp: bool = False                # also refine principal point (legacy
+                                              # SSBA FULL_BUNDLE_FOCAL_LENGTH_PP,
+                                              # BundleAdjuster.cpp:219)
     ba_dtype: str = "float32"
 
     # ---- pipeline ----

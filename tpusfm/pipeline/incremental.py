@@ -83,6 +83,17 @@ class Reconstruction:
 
         export_html_viewer(path, self.xyz, self.rgb, self.poses, self.pose_valid)
 
+    def select_points(self, keep: np.ndarray) -> "Reconstruction":
+        """New Reconstruction restricted to points where keep is True
+        (used by the SOR post-filter, legacy/Visualization.cpp:121-153)."""
+        keep = np.asarray(keep, bool)
+        return Reconstruction(
+            poses=self.poses, pose_valid=self.pose_valid,
+            xyz=self.xyz[keep], rgb=self.rgb[keep], obs=self.obs[keep],
+            K=self.K, mean_reprojection_error=self.mean_reprojection_error,
+            stats=self.stats,
+        )
+
 
 class SfMPipeline:
     """Host-side incremental SfM driver over jitted device kernels.
@@ -303,6 +314,7 @@ class SfMPipeline:
                 max_iterations=cfg.ba_max_iterations,
                 function_tolerance=cfg.ba_function_tolerance,
                 share_focal=cfg.ba_share_focal,
+                refine_pp=cfg.ba_refine_pp,
             )
         )
 

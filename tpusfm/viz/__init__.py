@@ -11,6 +11,7 @@ TPU-era equivalents of the reference's viz surface:
   right analog for a headless TPU pod).
 """
 
+from tpusfm.viz.cloud_filter import sor_filter, sor_filter_mask, voxel_grid_filter
 from tpusfm.viz.debug import draw_keypoints, draw_matches, draw_reprojections
 from tpusfm.viz.html_viewer import export_html_viewer
 
@@ -19,4 +20,7 @@ __all__ = [
     "draw_matches",
     "draw_reprojections",
     "export_html_viewer",
+    "sor_filter",
+    "sor_filter_mask",
+    "voxel_grid_filter",
 ]
