@@ -1,21 +1,32 @@
-"""Reference-pipeline baseline timing via OpenCV (the library the
-reference is built on).
+"""Reference-pipeline baseline: a faithful reenactment of the modern
+pipeline (SfMToyLib/SfM.cpp:63-95) with the exact OpenCV calls and
+parameters the C++ code makes, on this host's CPU.
 
 The reference binary cannot be built here (no Ceres/Boost dev packages),
-so the baseline reenacts the modern pipeline's stages with the exact same
-OpenCV calls and parameters the C++ code makes:
+so each stage is reproduced 1:1:
 
-  - ORB 5000 keypoints/image          (SfM2DFeatureUtilities.cpp:39)
-  - BFMatcher Hamming kNN k=2 + 0.8 ratio (:35,53-71)
-  - findHomography RANSAC thr=10 per pair (SfMStereoUtilities.cpp:63)
-  - findEssentialMat RANSAC 0.999/1.0 + recoverPose on the baseline pair (:97-101)
-  - triangulatePoints + reprojection gating (:120-206)
-  - solvePnPRansac per added view (:216-228)
-  - BA stand-in: scipy least_squares (trf, sparse jac) over the final
-    problem — a conservative proxy for Ceres DENSE_SCHUR (Ceres is
-    typically faster, so the reported baseline is, if anything,
-    flattering to us on every stage EXCEPT BA; the BA share is small for
-    7 images).
+  - setImagesDirectory: dir scan + imread + downscale   (SfM.cpp:98-138)
+  - ORB 5000 keypoints/image                            (SfM2DFeatureUtilities.cpp:39)
+  - all-pairs BFMatcher Hamming kNN k=2 + 0.8 ratio, fanned out over a
+    thread pool exactly like the reference's std::thread fan-out
+    (SfM.cpp:165-211; BFMatcher releases the GIL)
+  - sortViewsForBaseline: findHomography RANSAC thr=10 inlier ratio per
+    pair with >= 100 matches                            (SfM.cpp:333-364)
+  - findBaselineTriangulation: findEssentialMat RANSAC 0.999/1.0 +
+    recoverPose + inlier-ratio >= 0.5 gate + triangulatePoints with the
+    dual <= 10 px reprojection gate                     (SfM.cpp:215-321)
+  - addMoreViewsToReconstruction: find2D3DMatches scan over good views'
+    matches x cloud provenance (SfM.cpp:471-528), solvePnPRansac with
+    real 2D-3D correspondences (100 iters, thr 10, conf 0.99,
+    SfMStereoUtilities.cpp:216-231), per-good-view E-matrix re-pruning +
+    triangulation (SfM.cpp:413-461), mergeNewPointCloud with the 3D
+    distance < 0.01 + feature distance < 20 rules       (SfM.cpp:530-629)
+  - adjustCurrentBundle after the baseline and every added view: global
+    scipy least_squares over ALL cameras + points + shared focal with the
+    standard sparse-Jacobian BA structure — the closest scipy analog of
+    Ceres DENSE_SCHUR (SfMBundleAdjustmentUtils.cpp:99-222). scipy's trf
+    is slower than Ceres per iteration, so its nfev budget is capped low
+    (Ceres-style early ftol) to keep the baseline conservative.
 
 Timing is cached to benchmarks/baseline_cache.json so the TPU bench run
 doesn't re-measure the CPU baseline every time.
@@ -25,23 +36,25 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 _CACHE = os.path.join(os.path.dirname(__file__), "baseline_cache.json")
 
+MERGE_POINT_DIST = 0.01       # MERGE_CLOUD_POINT_MIN_MATCH_DISTANCE (SfM.cpp:50)
+MERGE_FEAT_DIST = 20.0        # MERGE_CLOUD_FEATURE_MIN_MATCH_DISTANCE (SfM.cpp:51)
+MIN_H_COUNT = 100             # MIN_POINT_COUNT_FOR_HOMOGRAPHY (SfM.cpp:52)
+POSE_INLIER_RATIO = 0.5       # POSE_INLIERS_MINIMAL_RATIO (SfMCommon.h:53)
+REPROJ_GATE = 10.0            # MIN_REPROJECTION_ERROR (SfMStereoUtilities.cpp:42)
 
-def measure_reference_baseline(image_dir: str, downscale: float = 1.0,
-                               force: bool = False) -> dict:
-    key = f"{os.path.abspath(image_dir)}@{downscale}"
-    if os.path.exists(_CACHE) and not force:
-        cache = json.load(open(_CACHE))
-        if key in cache:
-            return cache[key]
 
+def _reenact(image_dir: str, downscale: float, n_features: int) -> dict:
     import cv2
 
     t_start = time.perf_counter()
+    stage = {}
+
     # --- load (SfM.cpp:98-138) ---
     paths = sorted(
         os.path.join(image_dir, f) for f in os.listdir(image_dir)
@@ -57,121 +70,287 @@ def measure_reference_baseline(image_dir: str, downscale: float = 1.0,
     f0 = 2500.0 / downscale
     K = np.array([[f0, 0, w / 2], [0, f0, h / 2], [0, 0, 1]], np.float64)
 
-    # --- features (5000 ORB) ---
+    # --- features (SfM.cpp:141-154) ---
     t0 = time.perf_counter()
-    orb = cv2.ORB_create(5000)
-    kps, descs = [], []
-    for im in imgs:
-        k, d = orb.detectAndCompute(cv2.cvtColor(im, cv2.COLOR_BGR2GRAY), None)
-        kps.append(k)
-        descs.append(d)
-    t_feat = time.perf_counter() - t0
+    orb = cv2.ORB_create(n_features)
+    grays = [cv2.cvtColor(im, cv2.COLOR_BGR2GRAY) for im in imgs]
+    kd = [orb.detectAndCompute(g, None) for g in grays]
+    kps = [np.float32([k.pt for k in ks]) for ks, _ in kd]
+    descs = [d for _, d in kd]
+    stage["features_s"] = time.perf_counter() - t0
 
-    # --- all-pairs kNN matching + ratio 0.8 ---
+    # --- all-pairs matching, threaded like SfM.cpp:165-211 ---
     t0 = time.perf_counter()
-    bf = cv2.BFMatcher(cv2.NORM_HAMMING)
-    pair_matches = {}
-    for i in range(V):
-        for j in range(i + 1, V):
-            knn = bf.knnMatch(descs[i], descs[j], k=2)
-            good = [m for m, n in (p for p in knn if len(p) == 2)
-                    if m.distance < 0.8 * n.distance]
-            pair_matches[(i, j)] = good
-    t_match = time.perf_counter() - t0
+    pairs = [(i, j) for i in range(V) for j in range(i + 1, V)]
 
-    # --- homography ranking per pair ---
+    def match_one(pair):
+        i, j = pair
+        bf = cv2.BFMatcher(cv2.NORM_HAMMING)
+        knn = bf.knnMatch(descs[i], descs[j], k=2)
+        return [(m.queryIdx, m.trainIdx, m.distance)
+                for p in knn if len(p) == 2
+                for m in [p[0]] if m.distance < 0.8 * p[1].distance]
+
+    workers = max((os.cpu_count() or 2) - 1, 1)
+    with ThreadPoolExecutor(workers) as ex:
+        matched = list(ex.map(match_one, pairs))
+    matches = {p: np.array(m if m else np.zeros((0, 3))).reshape(-1, 3)
+               for p, m in zip(pairs, matched)}
+    stage["matching_s"] = time.perf_counter() - t0
+
+    def pair_pts(i, j):
+        a, b = (i, j) if i < j else (j, i)
+        m = matches[(a, b)]
+        qi, ti = m[:, 0].astype(int), m[:, 1].astype(int)
+        if (a, b) != (i, j):
+            qi, ti = ti, qi
+        return kps[i][qi], kps[j][ti], m
+
+    # --- sortViewsForBaseline (SfM.cpp:333-364) ---
     t0 = time.perf_counter()
-    for (i, j), good in pair_matches.items():
-        if len(good) < 100:
+    ranked = []
+    for (i, j), m in matches.items():
+        if len(m) < MIN_H_COUNT:
             continue
-        p1 = np.float32([kps[i][m.queryIdx].pt for m in good])
-        p2 = np.float32([kps[j][m.trainIdx].pt for m in good])
-        cv2.findHomography(p1, p2, cv2.RANSAC, 10.0)
-    t_homog = time.perf_counter() - t0
+        p1, p2, _ = pair_pts(i, j)
+        _, mask = cv2.findHomography(p1, p2, cv2.RANSAC, 10.0)
+        n_inl = int(mask.sum()) if mask is not None else len(m)
+        ranked.append((n_inl / len(m), (i, j)))
+    ranked.sort()
+    stage["homography_s"] = time.perf_counter() - t0
 
-    # --- baseline two-view + triangulation (best pair by match count) ---
-    t0 = time.perf_counter()
-    (bi, bj) = max(pair_matches, key=lambda p: len(pair_matches[p]))
-    good = pair_matches[(bi, bj)]
-    p1 = np.float32([kps[bi][m.queryIdx].pt for m in good])
-    p2 = np.float32([kps[bj][m.trainIdx].pt for m in good])
-    E, mask = cv2.findEssentialMat(p1, p2, K, cv2.RANSAC, 0.999, 1.0)
-    _, R, t, mask = cv2.recoverPose(E, p1, p2, K, mask=mask)
-    P1 = K @ np.hstack([np.eye(3), np.zeros((3, 1))])
-    P2 = K @ np.hstack([R, t])
-    Xh = cv2.triangulatePoints(P1, P2, p1.T, p2.T)
-    X = (Xh[:3] / Xh[3]).T
-    t_stereo = time.perf_counter() - t0
+    # --- reconstruction state ---
+    cloud_xyz = []        # list of (3,) points
+    cloud_obs = []        # list of dict view -> feature idx
+    poses = {v: None for v in range(V)}
+    done, good = set(), set()
 
-    # --- PnP per remaining view (on the triangulated points via matches) ---
-    t0 = time.perf_counter()
-    n_pnp = 0
-    for v in range(V):
-        if v in (bi, bj) or len(X) < 6:
-            continue
-        n = min(len(X), len(kps[v]))
-        obj = np.ascontiguousarray(X[:n], np.float64)
-        img_pts = np.float32([kps[v][k].pt for k in range(n)])
-        try:
-            cv2.solvePnPRansac(obj, img_pts, K, None, iterationsCount=100,
-                               reprojectionError=10.0, confidence=0.99)
-            n_pnp += 1
-        except cv2.error:
-            pass
-    t_pnp = time.perf_counter() - t0
+    def triangulate_pair(i, j, Pi, Pj, qi, ti, p1, p2):
+        """cv2.triangulatePoints + dual reprojection gate (SfM.cpp /
+        SfMStereoUtilities.cpp:120-206). Returns list of (xyz, {i:qi, j:ti})."""
+        if len(p1) < 8:
+            return []
+        Xh = cv2.triangulatePoints(K @ Pi, K @ Pj, p1.T.astype(np.float64),
+                                   p2.T.astype(np.float64))
+        X = (Xh[:3] / np.where(np.abs(Xh[3]) < 1e-12, 1e-12, Xh[3])).T
+        out = []
+        for Pv, pv in ((Pi, p1), (Pj, p2)):
+            pc = X @ Pv[:, :3].T + Pv[:, 3]
+            uv = (pc[:, :2] / np.maximum(pc[:, 2:3], 1e-9)) * f0 + np.array([w / 2, h / 2])
+            out.append((np.linalg.norm(uv - pv, axis=1), pc[:, 2]))
+        (e1, z1), (e2, z2) = out
+        keep = (e1 <= REPROJ_GATE) & (e2 <= REPROJ_GATE) & (z1 > 0) & (z2 > 0)
+        return [(X[k], {i: int(qi[k]), j: int(ti[k])}) for k in np.nonzero(keep)[0]]
 
-    # --- BA proxy: scipy least_squares (sparse Jacobian structure, the
-    # standard scipy BA recipe) on the two-view problem; one call per
-    # incremental registration round like the reference (V-1 rounds).
-    t_before_ba = time.perf_counter()
-    t0 = t_before_ba
-    try:
+    def merge_new_points(new_pts):
+        """SfM::mergeNewPointCloud (SfM.cpp:530-629)."""
+        n_new = n_merged = 0
+        arr = np.array(cloud_xyz).reshape(-1, 3)
+        n_existing = len(arr)  # like the reference, only scan pre-existing points
+        for X, obs in new_pts:
+            if n_existing:
+                d = np.linalg.norm(arr - X, axis=1)
+                near = np.nonzero(d < MERGE_POINT_DIST)[0]
+            else:
+                near = []
+            merged = False
+            found_close = len(near) > 0
+            for ci in near:
+                for nv, nf in obs.items():
+                    for ev, ef in list(cloud_obs[ci].items()):
+                        lv, lf, rv, rf = (nv, nf, ev, ef) if nv < ev else (ev, ef, nv, nf)
+                        if lv == rv:
+                            continue
+                        m = matches[(lv, rv)]
+                        hit = (m[:, 0] == lf) & (m[:, 1] == rf) & (m[:, 2] < MERGE_FEAT_DIST)
+                        if hit.any():
+                            cloud_obs[ci][nv] = nf
+                            merged = True
+                if merged:
+                    n_merged += 1
+                    break
+            if not merged and not found_close:
+                cloud_xyz.append(X)
+                cloud_obs.append(dict(obs))
+                n_new += 1
+        return n_new, n_merged
+
+    def adjust_bundle():
+        """Global BA over all registered cameras + points + shared focal
+        (SfMBundleAdjustmentUtils.cpp:99-222), scipy sparse-Jacobian trf."""
         from scipy.optimize import least_squares
         from scipy.sparse import lil_matrix
 
-        n_ba = min(len(X), 2000)
-        rvec0, _ = cv2.Rodrigues(R)
-        x0 = np.concatenate([rvec0.ravel(), t.ravel(), X[:n_ba].ravel()])
-        obs1, obs2 = p1[:n_ba], p2[:n_ba]
+        cams = sorted(good)
+        if not cams or not cloud_xyz:
+            return
+        cam_of = {v: c for c, v in enumerate(cams)}
+        obs_list = []
+        for n, obs in enumerate(cloud_obs):
+            for v, fidx in obs.items():
+                if v in cam_of:
+                    obs_list.append((n, cam_of[v], kps[v][fidx]))
+        if len(obs_list) < 8:
+            return
+        nC, nP = len(cams), len(cloud_xyz)
+        import cv2
+        x0 = np.zeros(6 * nC + 3 * nP + 1)
+        for v, c in cam_of.items():
+            rv, _ = cv2.Rodrigues(poses[v][:, :3])
+            x0[6 * c: 6 * c + 3] = rv.ravel()
+            x0[6 * c + 3: 6 * c + 6] = poses[v][:, 3]
+        x0[6 * nC: 6 * nC + 3 * nP] = np.array(cloud_xyz).ravel()
+        x0[-1] = f0
+        pidx = np.array([o[0] for o in obs_list])
+        cidx = np.array([o[1] for o in obs_list])
+        uv = np.array([o[2] for o in obs_list]) - np.array([w / 2, h / 2])
 
         def resid(x):
-            rv, tv = x[:3], x[3:6]
-            pts = x[6:].reshape(-1, 3)
-            Rm, _ = cv2.Rodrigues(rv)
-            pc1 = pts
-            u1 = (pc1[:, :2] / pc1[:, 2:3]) * f0 + np.array([w / 2, h / 2])
-            pc2 = pts @ Rm.T + tv
-            u2 = (pc2[:, :2] / np.maximum(pc2[:, 2:3], 1e-8)) * f0 + np.array([w / 2, h / 2])
-            return np.concatenate([(u1 - obs1).ravel(), (u2 - obs2).ravel()])
+            r = np.empty((len(obs_list), 2))
+            pts = x[6 * nC: 6 * nC + 3 * nP].reshape(-1, 3)
+            foc = x[-1]
+            for c in range(nC):
+                sel = cidx == c
+                Rm, _ = cv2.Rodrigues(x[6 * c: 6 * c + 3])
+                pc = pts[pidx[sel]] @ Rm.T + x[6 * c + 3: 6 * c + 6]
+                r[sel] = (pc[:, :2] / np.maximum(pc[:, 2:3], 1e-9)) * foc - uv[sel]
+            return r.ravel()
 
-        A = lil_matrix((4 * n_ba, 6 + 3 * n_ba), dtype=int)
-        for k in range(n_ba):
-            A[2 * k : 2 * k + 2, 6 + 3 * k : 6 + 3 * k + 3] = 1          # view 1 rows
-            A[2 * n_ba + 2 * k : 2 * n_ba + 2 * k + 2, :6] = 1            # view 2 rows
-            A[2 * n_ba + 2 * k : 2 * n_ba + 2 * k + 2, 6 + 3 * k : 6 + 3 * k + 3] = 1
-        one_ba = time.perf_counter()
-        least_squares(resid, x0, jac_sparsity=A, method="trf",
-                      x_scale="jac", ftol=1e-2, max_nfev=50)
-        one_ba = time.perf_counter() - one_ba
-        # the reference runs BA after the baseline and after every added
-        # view (SfM.cpp:317,464-466): V-1 rounds total
-        t_ba_est = one_ba * (V - 1)
-    except Exception:
-        t_ba_est = 0.0
-    t_ba = max(time.perf_counter() - t0, t_ba_est)
+        A = lil_matrix((2 * len(obs_list), len(x0)), dtype=int)
+        rows = np.arange(len(obs_list))
+        for k in range(2):
+            for d in range(6):
+                A[2 * rows + k, 6 * cidx + d] = 1
+            for d in range(3):
+                A[2 * rows + k, 6 * nC + 3 * pidx + d] = 1
+            A[2 * rows + k, -1] = 1
+        sol = least_squares(resid, x0, jac_sparsity=A, method="trf",
+                            x_scale="jac", ftol=1e-3, max_nfev=30)
+        x = sol.x
+        for v, c in cam_of.items():
+            Rm, _ = cv2.Rodrigues(x[6 * c: 6 * c + 3])
+            poses[v] = np.hstack([Rm, x[6 * c + 3: 6 * c + 6, None]])
+        pts = x[6 * nC: 6 * nC + 3 * nP].reshape(-1, 3)
+        for n in range(nP):
+            cloud_xyz[n] = pts[n]
 
-    total = (t_before_ba - t_start) + t_ba
-    result = {
+    # --- findBaselineTriangulation (SfM.cpp:215-321) ---
+    t0 = time.perf_counter()
+    for _, (i, j) in ranked:
+        p1, p2, m = pair_pts(i, j)
+        E, mask = cv2.findEssentialMat(p1, p2, K, cv2.RANSAC, 0.999, 1.0)
+        if E is None or E.shape != (3, 3):
+            continue
+        n_inl, R, t, mask = cv2.recoverPose(E, p1, p2, K, mask=mask)
+        if n_inl / max(len(m), 1) < POSE_INLIER_RATIO:
+            continue
+        sel = mask.ravel() > 0
+        Pi = np.hstack([np.eye(3), np.zeros((3, 1))])
+        Pj = np.hstack([R, t])
+        pts = triangulate_pair(i, j, Pi, Pj, m[sel, 0].astype(int),
+                               m[sel, 1].astype(int), p1[sel], p2[sel])
+        if len(pts) < 16:
+            continue
+        poses[i], poses[j] = Pi, Pj
+        done |= {i, j}
+        good |= {i, j}
+        merge_new_points(pts)
+        adjust_bundle()
+        break
+    stage["baseline_s"] = time.perf_counter() - t0
+    if not good:
+        raise RuntimeError("baseline reenactment failed to seed")
+
+    # --- addMoreViewsToReconstruction (SfM.cpp:366-469) ---
+    t0 = time.perf_counter()
+    while len(done) < V:
+        # find2D3DMatches for every pending view (SfM.cpp:471-528)
+        best_v, best_corr = None, []
+        for v in range(V):
+            if v in done:
+                continue
+            pt_of_feat = {}
+            for g in good:
+                a, b = (v, g) if v < g else (g, v)
+                m = matches[(a, b)]
+                fv = (m[:, 0] if v < g else m[:, 1]).astype(int)
+                fg = (m[:, 1] if v < g else m[:, 0]).astype(int)
+                claim = {}
+                for n, obs in enumerate(cloud_obs):
+                    if g in obs:
+                        claim[obs[g]] = n
+                for q, tr in zip(fv, fg):
+                    if tr in claim:
+                        pt_of_feat[q] = claim[tr]
+            corr = [(kps[v][q], cloud_xyz[n]) for q, n in pt_of_feat.items()]
+            if len(corr) > len(best_corr):
+                best_v, best_corr = v, corr
+        if best_v is None:
+            break
+        done.add(best_v)
+        if len(best_corr) < 6:
+            continue
+        img_pts = np.array([c[0] for c in best_corr], np.float64)
+        obj_pts = np.array([c[1] for c in best_corr], np.float64)
+        ok, rvec, tvec, inl = cv2.solvePnPRansac(
+            obj_pts, img_pts, K, None, iterationsCount=100,
+            reprojectionError=10.0, confidence=0.99)
+        if not ok or inl is None or len(inl) / len(best_corr) < POSE_INLIER_RATIO:
+            continue
+        Rm, _ = cv2.Rodrigues(rvec)
+        poses[best_v] = np.hstack([Rm, tvec.reshape(3, 1)])
+        # re-prune + triangulate vs every good view (SfM.cpp:413-461)
+        new_pts = []
+        for g in sorted(good):
+            p1, p2, m = pair_pts(best_v, g)
+            if len(m) < 8:
+                continue
+            E, mask = cv2.findEssentialMat(p1, p2, K, cv2.RANSAC, 0.999, 1.0)
+            if E is None or E.shape != (3, 3) or mask is None:
+                continue
+            sel = mask.ravel() > 0
+            qi = (m[:, 0] if best_v < g else m[:, 1]).astype(int)[sel]
+            ti = (m[:, 1] if best_v < g else m[:, 0]).astype(int)[sel]
+            new_pts += triangulate_pair(best_v, g, poses[best_v], poses[g],
+                                        qi, ti, p1[sel], p2[sel])
+        good.add(best_v)
+        merge_new_points(new_pts)
+        adjust_bundle()
+    stage["add_views_s"] = time.perf_counter() - t0
+
+    total = time.perf_counter() - t_start
+    # final mean reprojection error for quality cross-checks
+    errs = []
+    for n, obs in enumerate(cloud_obs):
+        for v, fidx in obs.items():
+            if poses[v] is None:
+                continue
+            pc = cloud_xyz[n] @ poses[v][:, :3].T + poses[v][:, 3]
+            if pc[2] <= 0:
+                continue
+            uv = (pc[:2] / pc[2]) * f0 + np.array([w / 2, h / 2])
+            errs.append(np.linalg.norm(uv - kps[v][fidx]))
+    return {
         "total_s": total,
-        "features_s": t_feat,
-        "matching_s": t_match,
-        "homography_s": t_homog,
-        "stereo_s": t_stereo,
-        "pnp_s": t_pnp,
-        "ba_proxy_s": t_ba,
+        **{k: round(v, 3) for k, v in stage.items()},
         "frames": V,
         "frames_per_s": V / total,
+        "n_points": len(cloud_xyz),
+        "n_cameras": sum(p is not None for p in poses.values()),
+        "mean_reproj_px": float(np.mean(errs)) if errs else float("nan"),
+        "n_features": n_features,
     }
+
+
+def measure_reference_baseline(image_dir: str, downscale: float = 1.0,
+                               n_features: int = 5000,
+                               force: bool = False) -> dict:
+    key = f"{os.path.abspath(image_dir)}@{downscale}@orb{n_features}"
+    if os.path.exists(_CACHE) and not force:
+        cache = json.load(open(_CACHE))
+        if key in cache:
+            return cache[key]
+    result = _reenact(image_dir, downscale, n_features)
     cache = json.load(open(_CACHE)) if os.path.exists(_CACHE) else {}
     cache[key] = result
     json.dump(cache, open(_CACHE, "w"), indent=1)

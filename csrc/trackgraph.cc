@@ -53,6 +53,125 @@ int tpusfm_insert_points(float* xyz, int32_t* obs, int32_t* feat2point,
   return n_points;
 }
 
+// Full mergeNewPointCloud semantics (SfMToyLib/SfM.cpp:530-629, constants
+// :50-51), sequential like the reference:
+//   - exact-feature claim: the feature is already owned -> attach
+//   - transitive claim (legacy strengthening, MultiCameraPnP.cpp:393-441):
+//     the feature matches, through another view, a feature that owns a
+//     point -> attach
+//   - 3D distance < merge_dist to an existing point, confirmed by a 2D
+//     match of distance < feat_dist between originating views -> attach
+//   - close but unconfirmed -> dropped (reference adds a point only when
+//     `!foundAnyMatchingExistingViews && !foundMatching3DPoint`)
+//   - otherwise append as a new point.
+// Match lookups: right_of/left_of/rdist are (P+1) x (F+1) tables (row P and
+// column F are trash); pair_row is V x V -> pair row (or P).
+// stats[0]=appended, stats[1]=merged, stats[2]=dropped. Returns n_points.
+int tpusfm_insert_points_v2(
+    float* xyz, int32_t* obs, int32_t* feat2point, int cap, int V, int F,
+    int n_points, int vi, int vj, const float* nxyz, const int32_t* fi,
+    const int32_t* fj, int n_new, const int32_t* pair_row,
+    const int32_t* right_of, const float* rdist, const int32_t* left_of,
+    float merge_dist, float feat_dist, int strengthen, int32_t* stats) {
+  int appended = 0, merged = 0, dropped = 0;
+  const float merge_d2 = merge_dist * merge_dist;
+  const int64_t L = F + 1;  // lookup row stride
+
+  auto partner = [&](int v_new, int32_t f_new, int w) -> int32_t {
+    if (v_new == w || f_new < 0 || f_new >= F) return -1;
+    const int a = v_new < w ? v_new : w;
+    const int b = v_new < w ? w : v_new;
+    const int32_t p = pair_row[(int64_t)a * V + b];
+    return v_new < w ? right_of[p * L + f_new] : left_of[p * L + f_new];
+  };
+  auto match_dist_of = [&](int lv, int32_t lf, int32_t rf) -> float {
+    if (lf < 0 || lf >= F) return 1e9f;
+    (void)lv;
+    return 0.0f;  // unused; distance read at call site
+  };
+  (void)match_dist_of;
+
+  for (int k = 0; k < n_new; k++) {
+    const int32_t a = fi[k], b = fj[k];
+    if (a < 0 || a >= F || b < 0 || b >= F) continue;
+    const int32_t pa = feat2point[(int64_t)vi * F + a];
+    const int32_t pb = feat2point[(int64_t)vj * F + b];
+    int32_t target = pa >= 0 ? pa : pb;
+
+    if (target < 0 && strengthen) {  // transitive claims
+      for (int w = 0; w < V && target < 0; w++) {
+        if (w == vi || w == vj) continue;
+        int32_t cand = partner(vi, a, w);
+        if (cand >= 0 && cand < F) {
+          const int32_t p3d = feat2point[(int64_t)w * F + cand];
+          if (p3d >= 0) { target = p3d; break; }
+        }
+        cand = partner(vj, b, w);
+        if (cand >= 0 && cand < F) {
+          const int32_t p3d = feat2point[(int64_t)w * F + cand];
+          if (p3d >= 0) { target = p3d; break; }
+        }
+      }
+    }
+
+    bool close = false;
+    if (target < 0) {  // 3D-distance merge with feature confirmation
+      const float x = nxyz[(int64_t)k * 3], y = nxyz[(int64_t)k * 3 + 1],
+                  z = nxyz[(int64_t)k * 3 + 2];
+      for (int n = 0; n < n_points; n++) {
+        const float dx = xyz[(int64_t)n * 3] - x;
+        const float dy = xyz[(int64_t)n * 3 + 1] - y;
+        const float dz = xyz[(int64_t)n * 3 + 2] - z;
+        if (dx * dx + dy * dy + dz * dz >= merge_d2) continue;
+        close = true;
+        // confirm: any originating view of n matched to (vi,a) or (vj,b)
+        for (int w = 0; w < V && target < 0; w++) {
+          const int32_t fe = obs[(int64_t)n * V + w];
+          if (fe < 0 || fe >= F) continue;
+          for (int s = 0; s < 2 && target < 0; s++) {
+            const int v_new = s == 0 ? vi : vj;
+            const int32_t f_new = s == 0 ? a : b;
+            if (w == v_new) continue;
+            const int lv = v_new < w ? v_new : w;
+            const int rv = v_new < w ? w : v_new;
+            const int32_t lf = v_new < w ? f_new : fe;
+            const int32_t rf = v_new < w ? fe : f_new;
+            const int32_t p = pair_row[(int64_t)lv * V + rv];
+            if (right_of[p * L + lf] == rf && rdist[p * L + lf] < feat_dist)
+              target = n;
+          }
+        }
+        if (target >= 0) break;
+      }
+    }
+
+    if (target >= 0) {  // attach both observations
+      obs[(int64_t)target * V + vi] = a;
+      obs[(int64_t)target * V + vj] = b;
+      feat2point[(int64_t)vi * F + a] = target;
+      feat2point[(int64_t)vj * F + b] = target;
+      merged++;
+    } else if (close) {
+      dropped++;  // close but unconfirmed (SfM.cpp:596-600)
+    } else {
+      if (n_points >= cap) continue;
+      const int r = n_points++;
+      xyz[(int64_t)r * 3 + 0] = nxyz[(int64_t)k * 3 + 0];
+      xyz[(int64_t)r * 3 + 1] = nxyz[(int64_t)k * 3 + 1];
+      xyz[(int64_t)r * 3 + 2] = nxyz[(int64_t)k * 3 + 2];
+      obs[(int64_t)r * V + vi] = a;
+      obs[(int64_t)r * V + vj] = b;
+      feat2point[(int64_t)vi * F + a] = r;
+      feat2point[(int64_t)vj * F + b] = r;
+      appended++;
+    }
+  }
+  stats[0] = appended;
+  stats[1] = merged;
+  stats[2] = dropped;
+  return n_points;
+}
+
 // 2D-3D correspondences for an unregistered view: scan its matches
 // against every good view; a partner feature claimed by a map point
 // yields (feature in `view`, point index). Later good views overwrite

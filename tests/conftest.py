@@ -10,8 +10,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Persistent jit cache: the suite is compile-dominated on the CPU mesh, and
+# the programs are identical across runs — cache them next to the repo.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
 
 import jax  # noqa: E402
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # The axon sitecustomize force-registers the TPU platform regardless of env;
 # override explicitly so tests always run on the virtual CPU mesh.

@@ -94,7 +94,7 @@ def test_essential_8pt_and_decompose():
     mask = jnp.ones(x1.shape[0], bool)
     for decomp in (decompose_essential_hz, decompose_essential_horn90):
         cands = decomp(E)
-        Rt, front = pick_pose_by_cheirality(cands, x1, x2, mask)
+        Rt, front, _, _ = pick_pose_by_cheirality(cands, x1, x2, mask)
         assert rot_err(Rt[:, :3], rel[:, :3]) < 5e-2, decomp.__name__
         assert t_dir_err(Rt[:, 3], rel[:, 3]) < 5e-2, decomp.__name__
         assert int(jnp.sum(front)) > 90

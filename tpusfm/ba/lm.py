@@ -298,11 +298,11 @@ def lm_solve(
                        pp_delta=prob.pp_delta)
 
     def cond(state):
-        it, _, _, _, done = state
+        it, _, _, _, done, _ = state
         return (it < max_iterations) & ~done
 
     def body(state):
-        it, p, lam, cost, done = state
+        it, p, lam, cost, done, rejects = state
         d_cams, d_points, d_focal, d_pp = _lm_step(p, lam, share_focal, refine_pp, axis_name)
         new_cams = p.cams - d_cams
         new_points = p.points - d_points
@@ -319,12 +319,20 @@ def lm_solve(
         )
         lam2 = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10), jnp.minimum(lam * 4.0, 1e8))
         rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, _EPS)
-        done2 = accept & (rel < function_tolerance)
+        # Termination: Ceres-style function_tolerance on an accepted step,
+        # OR a stall (5 consecutive rejected steps at ever-higher damping —
+        # the trust region has collapsed to the f32 noise floor and more
+        # iterations cannot improve the cost). The stall exit is what keeps
+        # the warm-started incremental BA calls cheap: near the optimum the
+        # solver spends 1-3 iterations, not the full budget.
+        rejects2 = jnp.where(accept, 0, rejects + 1)
+        done2 = (accept & (rel < function_tolerance)) | (rejects2 >= 5)
         cost2 = jnp.where(accept, new_cost, cost)
-        return (it + 1, p2, lam2, cost2, done2)
+        return (it + 1, p2, lam2, cost2, done2, rejects2)
 
-    it, pf, lam, costf, done = jax.lax.while_loop(
-        cond, body, (jnp.array(0), prob, jnp.array(initial_lambda, prob.cams.dtype), cost0, jnp.array(False))
+    it, pf, lam, costf, done, _ = jax.lax.while_loop(
+        cond, body, (jnp.array(0), prob, jnp.array(initial_lambda, prob.cams.dtype),
+                     cost0, jnp.array(False), jnp.array(0)),
     )
     return pf, BASummary(initial_cost=cost0, final_cost=costf, iterations=it, converged=done)
 
@@ -354,8 +362,10 @@ def adjust_bundle(
     *,
     max_iterations: int = 50,
     function_tolerance: float = 1e-6,
+    initial_lambda: float = 1e-3,
     share_focal: bool = True,
     refine_pp: bool = False,
+    dtype: str = "float32",
 ):
     """High-level BA matching the reference adjustBundle API
     (SfMBundleAdjustmentUtils.h:35-50): takes poses + cloud + observations
@@ -366,16 +376,20 @@ def adjust_bundle(
     (:182-185), the caller should discard results when converged is False.
     refine_pp also optimizes the principal point and writes it back to K
     (legacy SSBA FULL_BUNDLE_FOCAL_LENGTH_PP, BundleAdjuster.cpp:219,267-296).
+    dtype selects the solve precision ("float32" default; "bfloat16" trades
+    accuracy for HBM bandwidth on very large grids) — outputs are always
+    written back as float32.
     """
+    dt = jnp.dtype(dtype)
     V = poses_Rt.shape[0]
     rvecs = camera.matrix_to_rodrigues_b(poses_Rt[:, :, :3].reshape(V, 3, 3))
     cams = jnp.concatenate([rvecs, poses_Rt[:, :, 3]], axis=1)
     pp = K[:2, 2]
     prob = BAProblem(
-        cams=cams,
-        points=points,
-        focal=K[0, 0],
-        uv=uv - pp[None, None, :],
+        cams=cams.astype(dt),
+        points=points.astype(dt),
+        focal=K[0, 0].astype(dt),
+        uv=(uv - pp[None, None, :]).astype(dt),
         mask=obs_mask,
         cam_valid=cam_valid,
         pt_valid=pt_valid,
@@ -384,9 +398,11 @@ def adjust_bundle(
         prob,
         max_iterations=max_iterations,
         function_tolerance=function_tolerance,
+        initial_lambda=initial_lambda,
         share_focal=share_focal,
         refine_pp=refine_pp,
     )
+    sol = jax.tree.map(lambda a: a.astype(jnp.float32) if a.dtype == dt else a, sol)
     R = camera.rodrigues_to_matrix_b(sol.cams[:, :3])
     out_Rt = jnp.concatenate([R, sol.cams[:, 3:, None]], axis=2)
     newK = K.at[0, 0].set(sol.focal).at[1, 1].set(sol.focal)

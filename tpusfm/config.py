@@ -66,6 +66,8 @@ class SfMConfig:
     triangulation_iters: int = 10             # Hartley-Sturm cap (Triangulation.h:52)
     triangulation_eps: float = 1e-4
     cheirality_min_frac: float = 0.75         # TestTriangulation gate (FindCameraMatrices.cpp:277-326)
+    cheirality_max_reproj_px: float = 100.0   # reproj gate on the winning pose
+                                              # (FindCameraMatrices.cpp:465-470)
 
     # ---- PnP (reference: SfMStereoUtilities.cpp:216-231) ----
     pnp_hypotheses: int = 256                 # reference: 100 RANSAC iters
@@ -76,11 +78,15 @@ class SfMConfig:
     min_pnp_inlier_fraction: float = 0.2      # legacy: inliers >= points/5
     # legacy adaptive triangulation filter: keep err <= max(2.4 * p80, 4px),
     # hard reject > 16px (MultiCameraPnP.cpp:347-358, Snavely §4.2)
-    adaptive_reprojection_filter: bool = False
+    adaptive_reprojection_filter: bool = True
     adaptive_percentile: float = 80.0
     adaptive_multiplier: float = 2.4
     adaptive_keep_px: float = 4.0
     adaptive_reject_px: float = 16.0
+    # legacy cross-view point strengthening: extend each new point's track
+    # into other views via the match matrix before insertion
+    # (MultiCameraPnP.cpp:393-441)
+    cross_view_strengthen: bool = True
 
     # ---- cloud merge (reference: SfM.cpp:50-51) ----
     merge_point_min_match_distance: float = 0.01
@@ -100,6 +106,16 @@ class SfMConfig:
     point_capacity: int = 65536               # static map size
     downscale: float = 1.0                    # CLI --downscale (main.cpp:47)
     default_focal: float = 2500.0             # hardcoded K (SfM.cpp:70-74)
+
+    # ---- fused device engine (pipeline/engine.py) ----
+    # Runs the whole incremental loop (baseline seed + add-view loop +
+    # merge + BA) device-resident with zero host round-trips; the host
+    # fetches results once at the end. This is the default execution path
+    # for the RICH matcher; strategies that need per-pair host logic
+    # (optical flow/dense/stereo) use the classic host-driven loop.
+    fused: bool = True
+    engine_point_capacity: int = 4096         # static map size of the fused engine
+    engine_pnp_capacity: int = 4096           # static 2D-3D correspondence cap
 
     # ---- logging (reference: SfMCommon.h:38-44) ----
     console_debug_level: int = 2              # 0=TRACE..4=ERROR, clamped like SfM.h:77-83

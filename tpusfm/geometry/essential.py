@@ -98,7 +98,7 @@ def refine_essential(
     falls back to E0 when fewer than 8 points carry weight.
     """
     cands = decompose_essential_hz(E0)
-    Rt, _ = pick_pose_by_cheirality(cands, x1, x2, w > 0)
+    Rt, _, _, _ = pick_pose_by_cheirality(cands, x1, x2, w > 0)
     R, t = Rt[:, :3], Rt[:, 3]
     t = t / jnp.maximum(jnp.linalg.norm(t), _EPS)
 
@@ -149,6 +149,21 @@ def sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarr
     num = jnp.sum(x2h * Ex1, axis=1)
     den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
     return jnp.abs(num) / jnp.sqrt(jnp.maximum(den, _EPS))
+
+
+def essential_from_poses(Rt1: jnp.ndarray, Rt2: jnp.ndarray) -> jnp.ndarray:
+    """E for a view pair from KNOWN world->camera poses: E = [t_rel]x R_rel.
+
+    Used by the fused engine's add-view match pruning: once both poses are
+    registered (and BA-refined), the epipolar geometry is determined — no
+    RANSAC re-estimation needed, unlike the reference's per-pair
+    findCameraMatricesFromMatch re-run (SfM.cpp:442-448), which must
+    re-estimate because it never trusts its poses. Sampson-gating against
+    this E is the same filter at ~1/500th the device cost.
+    """
+    rel = camera.relative_pose(Rt1, Rt2)
+    E = skew(rel[:, 3]) @ rel[:, :3]
+    return E / jnp.maximum(jnp.linalg.norm(E), _EPS)
 
 
 def decompose_essential_hz(E: jnp.ndarray) -> jnp.ndarray:
@@ -278,7 +293,12 @@ def pick_pose_by_cheirality(candidates: jnp.ndarray, x1: jnp.ndarray, x2: jnp.nd
     Batched equivalent of the legacy 4-candidate loop
     (FindCameraMatrices.cpp:428-480): for each candidate, triangulate and
     count points in front of both cameras; pick the argmax.
-    Returns (Rt (3,4), front_mask (N,) for the winner).
+    Returns (Rt (3,4), front_mask (N,), front_frac, mean_reproj) for the
+    winner, where front_frac is the in-front fraction over valid matches
+    and mean_reproj the mean reprojection error (normalized units) of the
+    in-front points — the inputs to the legacy acceptance gates
+    (TestTriangulation >=75 % @ FindCameraMatrices.cpp:277-326 and
+    reprojection < 100 px @ :465-470), applied by the caller.
     """
     P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
 
@@ -287,12 +307,20 @@ def pick_pose_by_cheirality(candidates: jnp.ndarray, x1: jnp.ndarray, x2: jnp.nd
         z1 = xyz[:, 2]
         z2 = camera.transform_points(Rt, xyz)[:, 2]
         good = (z1 > 0) & (z2 > 0) & mask & jnp.all(jnp.isfinite(xyz), axis=1)
-        return good
+        # reprojection error in both views (normalized coords), masked mean
+        p1 = xyz[:, :2] / jnp.where(jnp.abs(z1[:, None]) < _EPS, _EPS, z1[:, None])
+        pc2 = camera.transform_points(Rt, xyz)
+        p2 = pc2[:, :2] / jnp.where(jnp.abs(pc2[:, 2:]) < _EPS, _EPS, pc2[:, 2:])
+        e = 0.5 * (jnp.linalg.norm(p1 - x1, axis=1) + jnp.linalg.norm(p2 - x2, axis=1))
+        w = good.astype(e.dtype)
+        mean_e = jnp.sum(jnp.where(good, e, 0.0)) / jnp.maximum(jnp.sum(w), 1.0)
+        return good, mean_e
 
-    fronts = jax.vmap(front)(candidates)           # (4, N)
+    fronts, errs = jax.vmap(front)(candidates)     # (4, N), (4,)
     counts = jnp.sum(fronts, axis=1)
     best = jnp.argmax(counts)
-    return candidates[best], fronts[best]
+    frac = counts[best] / jnp.maximum(jnp.sum(mask), 1)
+    return candidates[best], fronts[best], frac, errs[best]
 
 
 def find_camera_from_match(
@@ -306,6 +334,8 @@ def find_camera_from_match(
     threshold_px: float = 1.0,
     hypotheses: int = 512,
     use_horn: bool = False,
+    min_front_frac: float = 0.0,
+    max_front_reproj_px: float = 0.0,
 ) -> TwoViewResult:
     """Full two-view relative-pose recovery from matched pixel coords.
 
@@ -314,6 +344,13 @@ def find_camera_from_match(
     match pruning by the surviving-inlier mask (:110-115). The pose-inlier
     ratio output feeds the caller's >=0.5 gate (SfM.cpp:264-275,
     POSE_INLIERS_MINIMAL_RATIO @ SfMCommon.h:53).
+
+    min_front_frac / max_front_reproj_px (both off when 0) enable the
+    legacy cheirality acceptance gates: >= min_front_frac of the epipolar
+    inliers must triangulate in front of both cameras
+    (TestTriangulation, FindCameraMatrices.cpp:277-326) and their mean
+    reprojection error must stay under max_front_reproj_px pixels
+    (:465-470, reference constant 100.0) — otherwise ok=False.
     """
     from tpusfm.ransac import ransac
 
@@ -341,9 +378,13 @@ def find_camera_from_match(
     )
     decompose = decompose_essential_horn90 if use_horn else decompose_essential_hz
     candidates = decompose(E)
-    Rt, front = pick_pose_by_cheirality(candidates, x1, x2, epi_inl)
+    Rt, front, frac, front_err = pick_pose_by_cheirality(candidates, x1, x2, epi_inl)
     inliers = epi_inl & front
     n_valid = jnp.maximum(jnp.sum(mask), 1)
     ratio = jnp.sum(inliers) / n_valid
     ok = jnp.isfinite(ratio) & (jnp.sum(inliers) >= 8)
+    if min_front_frac > 0.0:
+        ok = ok & (frac >= min_front_frac)
+    if max_front_reproj_px > 0.0:
+        ok = ok & (front_err * f < max_front_reproj_px)
     return TwoViewResult(Rt=Rt, E=E, inliers=inliers, inlier_ratio=ratio, ok=ok)

@@ -1,0 +1,647 @@
+"""Fused device-resident incremental SfM engine.
+
+Round-1 profiling showed the host-driven loop (pipeline/incremental.py)
+is bound by device->host transfer latency, not TPU compute: on the target
+TPU every scalar fetch costs ~25-170 ms, and the classic loop performs
+dozens per reconstruction (gate booleans, merge bookkeeping, per-stage
+numpy pulls). This engine is the TPU-first answer: the ENTIRE incremental
+state machine — baseline-pair selection (SfM.cpp:215-321), the add-view
+loop (SfM.cpp:366-469), 2D-3D lookup (SfM.cpp:471-528), cloud merging
+(SfM.cpp:530-629) and per-view bundle adjustment (SfM.cpp:324-330) — runs
+as ONE jitted XLA program with lax control flow over fixed-shape masked
+state. The host dispatches a handful of async calls and fetches the final
+reconstruction with a single batched device_get.
+
+Track graph on device:
+  xyz        (CAP+1, 3)  map points; row CAP is a write-trash row
+  obs        (CAP+1, V)  feature index of point n in view v, -1 sentinel
+  feat2point (V, F+1)    inverse map; column F is a write-trash column
+  n_points   scalar      live prefix length (points only ever append)
+
+Every data-dependent decision of the reference (which pair seeds, which
+view registers next, every acceptance gate) is computed on device; a
+failed gate routes its writes to the trash row/column instead of
+branching. Behavioral parity notes cite the reference file:line next to
+each gate below.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusfm import camera
+from tpusfm.ba.lm import BAProblem, lm_solve
+from tpusfm.config import EssentialDecomposition, SfMConfig
+from tpusfm.geometry.essential import (
+    essential_from_poses,
+    find_camera_from_match,
+    sampson_error,
+)
+from tpusfm.geometry.pnp import find_camera_pose_2d3d
+from tpusfm.geometry.homography import find_homography_inliers
+from tpusfm.geometry.triangulation import triangulate_views
+
+_EPS = 1e-12
+_INF = jnp.inf
+
+# stats row layout (one row per registration attempt; row 0 = baseline)
+S_VIEW, S_N2D3D, S_RATIO, S_OK, S_NEW, S_MERGED, S_DROPPED, S_BA0, S_BA1, S_BAIT = range(10)
+_STATS_COLS = 10
+
+
+class EngineState(NamedTuple):
+    xyz: jnp.ndarray          # (CAP+1, 3)
+    obs: jnp.ndarray          # (CAP+1, V) int32
+    feat2point: jnp.ndarray   # (V, F+1) int32
+    n_points: jnp.ndarray     # () int32
+    poses: jnp.ndarray        # (V, 3, 4)
+    pose_valid: jnp.ndarray   # (V,) bool
+    done: jnp.ndarray         # (V,) bool
+    good: jnp.ndarray         # (V,) bool
+    focal: jnp.ndarray        # () f32
+    stats: jnp.ndarray        # (V+1, _STATS_COLS) f32
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+class FusedEngine:
+    """Compiles and runs the device-resident reconstruction.
+
+    One instance per (V, H, W, config) — all shapes are static. The public
+    surface is :meth:`run`, which takes host grayscale images and returns
+    the fetched reconstruction dict; everything in between stays on device.
+    """
+
+    def __init__(self, cfg: SfMConfig, V: int, H: int, W: int,
+                 f: float, cx: float, cy: float):
+        self.cfg = cfg
+        self.V, self.H, self.W = V, H, W
+        self.F = cfg.max_features
+        self.M = cfg.max_matches
+        self.CAP = cfg.engine_point_capacity
+        self.PNP_CAP = min(cfg.engine_pnp_capacity, self.F)
+        self.f0, self.cx, self.cy = float(f), float(cx), float(cy)
+
+        pairs = [(i, j) for i in range(V) for j in range(i + 1, V)]
+        self.pairs_list = pairs
+        self.P = len(pairs)
+        self._pairs = jnp.asarray(np.array(pairs, np.int32))             # (P, 2)
+        pr = np.full((V, V), self.P, np.int32)                            # trash row P
+        for n, (a, b) in enumerate(pairs):
+            pr[a, b] = n
+        self._pair_row = jnp.asarray(pr)
+        self._build_programs()
+        self.timings = {}
+
+    # ------------------------------------------------------------------ #
+    # small helpers (traced)
+    # ------------------------------------------------------------------ #
+    def _K(self, focal):
+        z = jnp.zeros((), jnp.float32)
+        o = jnp.ones((), jnp.float32)
+        return jnp.stack([
+            jnp.stack([focal, z, jnp.full((), self.cx)]),
+            jnp.stack([z, focal, jnp.full((), self.cy)]),
+            jnp.stack([z, z, o]),
+        ])
+
+    def _Kinv(self, focal):
+        z = jnp.zeros((), jnp.float32)
+        o = jnp.ones((), jnp.float32)
+        inv_f = 1.0 / focal
+        return jnp.stack([
+            jnp.stack([inv_f, z, -self.cx * inv_f]),
+            jnp.stack([z, inv_f, -self.cy * inv_f]),
+            jnp.stack([z, z, o]),
+        ])
+
+    def _pair_uv(self, feat_xy, match_idx, p):
+        """Aligned (uv_a, uv_b) for pair row p in canonical (a < b) order."""
+        idx = match_idx[p]
+        a = self._pairs[p, 0]
+        b = self._pairs[p, 1]
+        uv_a = feat_xy[a][jnp.maximum(idx[:, 0], 0)]
+        uv_b = feat_xy[b][jnp.maximum(idx[:, 1], 0)]
+        return uv_a, uv_b
+
+    # ------------------------------------------------------------------ #
+    # on-device cloud merge (SfM::mergeNewPointCloud, SfM.cpp:530-629)
+    # ------------------------------------------------------------------ #
+    def _merge_points(self, st: EngineState, xyz_new, keep, vi, vj, fi, fj,
+                      right_of, rdist, left_of):
+        """Merge one batch of freshly triangulated points into the map.
+
+        Reference semantics (SfM.cpp:544-601, constants :50-51):
+          1. a new point within MERGE_CLOUD_POINT_MIN_MATCH_DISTANCE of an
+             existing point, CONFIRMED by a 2D feature match of distance
+             < MERGE_CLOUD_FEATURE_MIN_MATCH_DISTANCE between their
+             originating views, merges (adds its observations);
+          2. close but unconfirmed points are dropped (the reference adds a
+             point only when `not foundAnyMatchingExistingViews and not
+             foundMatching3DPoint`, SfM.cpp:596-600);
+          3. everything else appends as a new point.
+        Plus the exact-feature fast path: a point whose feature is already
+        claimed in feat2point extends that track directly (same outcome
+        the reference reaches through 1., since a shared feature implies a
+        coincident 3D point).
+
+        Cross-view strengthening (legacy MultiCameraPnP.cpp:393-441): each
+        appended point also scans the match matrix from both originating
+        features into every other view and claims unowned matching
+        features there, extending tracks beyond the triangulating pair.
+        """
+        cfg = self.cfg
+        V, CAP, M, F = self.V, self.CAP, keep.shape[0], self.F
+        live = jnp.arange(CAP + 1) < st.n_points
+
+        # 1. nearest live map point
+        d2 = jnp.sum((xyz_new[:, None, :] - st.xyz[None, :, :]) ** 2, -1)   # (M, CAP+1)
+        d2 = jnp.where(live[None, :], d2, _INF)
+        ne = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        dmin2 = jnp.min(d2, axis=1)
+        close = dmin2 < cfg.merge_point_min_match_distance ** 2
+
+        # 2. 2D feature-match confirmation against point `ne`
+        obs_ne = st.obs[ne]                                                  # (M, V)
+
+        def confirm(v_new, f_new):
+            # does any view w of obs_ne hold a feature matched (distance <
+            # MERGE_CLOUD_FEATURE_MIN_MATCH_DISTANCE) to (v_new, f_new)?
+            w = jnp.arange(V)
+            a = jnp.minimum(v_new, w)
+            b = jnp.maximum(v_new, w)
+            p = self._pair_row[a, b]                                         # (V,)
+            new_is_left = v_new < w
+            lf = jnp.where(new_is_left[None, :], f_new[:, None], obs_ne)     # (M, V)
+            rf = jnp.where(new_is_left[None, :], obs_ne, f_new[:, None])
+            lf_s = jnp.clip(lf, 0, F)
+            hit = (
+                (obs_ne >= 0)
+                & (w[None, :] != v_new)
+                & (right_of[p[None, :], lf_s] == rf)
+                & (rdist[p[None, :], lf_s] < cfg.merge_feature_min_match_distance)
+            )
+            return jnp.any(hit, axis=1)
+
+        confirmed = confirm(vi, fi) | confirm(vj, fj)
+
+        # 3. exact-feature claims
+        pi = st.feat2point[vi, jnp.clip(fi, 0, F)]
+        pj = st.feat2point[vj, jnp.clip(fj, 0, F)]
+
+        # 3b. transitive-feature claims — the legacy "strengthening" pass
+        # (MultiCameraPnP.cpp:393-441): if the new point's feature matches,
+        # through some other view w, a feature that already references a
+        # map point, attach to that point instead of appending.
+        trans = jnp.full((keep.shape[0],), -1, jnp.int32)
+        if cfg.cross_view_strengthen:
+            for w in range(V):
+                def partner(v_new, f_new):
+                    a = jnp.minimum(v_new, w)
+                    b = jnp.maximum(v_new, w)
+                    p = self._pair_row[a, b]
+                    fsafe = jnp.clip(f_new, 0, F)
+                    fw = jnp.where(v_new < w, right_of[p, fsafe], left_of[p, fsafe])
+                    return jnp.where(v_new == w, -1, fw)
+
+                for v_new, f_new in ((vi, fi), (vj, fj)):
+                    cand = partner(v_new, f_new)
+                    p3d = st.feat2point[w, jnp.clip(cand, 0, F)]
+                    hit = (cand >= 0) & (p3d >= 0) & (w != vi) & (w != vj)
+                    trans = jnp.where((trans < 0) & hit, p3d, trans)
+
+        has_known = (pi >= 0) | (pj >= 0) | (trans >= 0)
+        known = jnp.where(pi >= 0, pi, jnp.where(pj >= 0, pj, trans))
+
+        attach = keep & (has_known | (close & confirmed))
+        target = jnp.where(has_known, known, ne)
+        drop = keep & ~attach & close
+        new = keep & ~attach & ~drop
+
+        pos = st.n_points + jnp.cumsum(new.astype(jnp.int32)) - 1
+        pos_ok = new & (pos < CAP)
+        rows_write = attach | pos_ok
+        dest = jnp.where(attach, target, jnp.where(pos_ok, pos, CAP)).astype(jnp.int32)
+
+        xyz2 = st.xyz.at[jnp.where(pos_ok, dest, CAP)].set(xyz_new)
+        obs2 = st.obs.at[dest, vi].set(jnp.where(rows_write, fi, -1))
+        obs2 = obs2.at[dest, vj].set(jnp.where(rows_write, fj, -1))
+        f2p2 = st.feat2point.at[vi, jnp.where(rows_write, fi, F)].set(dest)
+        f2p2 = f2p2.at[vj, jnp.where(rows_write, fj, F)].set(dest)
+
+        n2 = st.n_points + jnp.sum(pos_ok.astype(jnp.int32))
+        st2 = st._replace(xyz=xyz2, obs=obs2, feat2point=f2p2, n_points=n2)
+        return st2, jnp.sum(pos_ok), jnp.sum(attach), jnp.sum(drop)
+
+    # ------------------------------------------------------------------ #
+    # on-device bundle adjustment (SfM::adjustCurrentBundle, SfM.cpp:324-330)
+    # ------------------------------------------------------------------ #
+    def _run_ba(self, st: EngineState, feat_xy):
+        cfg = self.cfg
+        V, CAP = self.V, self.CAP
+        obs = st.obs[:CAP]
+        uv = feat_xy[jnp.arange(V)[None, :], jnp.maximum(obs, 0)]          # (CAP, V, 2)
+        mask = obs >= 0
+        pt_valid = jnp.arange(CAP) < st.n_points
+        rvecs = camera.matrix_to_rodrigues_b(st.poses[:, :, :3])
+        # unregistered rows carry garbage rotations through the rodrigues
+        # round-trip; they are frozen by cam_valid and masked on writeback
+        cams = jnp.concatenate([rvecs, st.poses[:, :, 3]], axis=1)
+        pp = jnp.array([self.cx, self.cy], jnp.float32)
+        prob = BAProblem(
+            cams=cams, points=st.xyz[:CAP], focal=st.focal,
+            uv=uv - pp[None, None, :], mask=mask,
+            cam_valid=st.pose_valid, pt_valid=pt_valid,
+        )
+        sol, summary = lm_solve(
+            prob,
+            max_iterations=cfg.ba_max_iterations,
+            function_tolerance=cfg.ba_function_tolerance,
+            initial_lambda=cfg.ba_initial_lambda,
+            share_focal=cfg.ba_share_focal,
+            refine_pp=False,
+        )
+        improved = summary.final_cost < summary.initial_cost
+        R = camera.rodrigues_to_matrix_b(sol.cams[:, :3])
+        Rt = jnp.concatenate([R, sol.cams[:, 3:, None]], axis=2)
+        wb = improved & st.pose_valid                                       # (V,)
+        poses2 = jnp.where(wb[:, None, None], Rt, st.poses)
+        xyz2 = st.xyz.at[:CAP].set(jnp.where(
+            (improved & pt_valid)[:, None], sol.points, st.xyz[:CAP]))
+        focal2 = jnp.where(improved, sol.focal, st.focal)
+        st2 = st._replace(poses=poses2, xyz=xyz2, focal=focal2)
+        return st2, (summary.initial_cost, summary.final_cost,
+                     summary.iterations.astype(jnp.float32))
+
+    # ------------------------------------------------------------------ #
+    # adaptive reprojection gate (MultiCameraPnP.cpp:347-358, Snavely §4.2)
+    # ------------------------------------------------------------------ #
+    def _adaptive_gate(self, e1, e2, keep):
+        cfg = self.cfg
+        if not cfg.adaptive_reprojection_filter:
+            return keep
+        err = jnp.maximum(e1, e2)
+        n = jnp.sum(keep)
+        srt = jnp.sort(jnp.where(keep, err, _INF))
+        qi = jnp.clip((cfg.adaptive_percentile / 100.0)
+                      * jnp.maximum(n - 1, 0).astype(jnp.float32),
+                      0, err.shape[0] - 1).astype(jnp.int32)
+        p = srt[qi]
+        thr = jnp.clip(cfg.adaptive_multiplier * p,
+                       cfg.adaptive_keep_px, cfg.adaptive_reject_px)
+        return keep & jnp.where(n > 0, err <= thr, True)
+
+    # ------------------------------------------------------------------ #
+    # the fused solve program
+    # ------------------------------------------------------------------ #
+    def _build_programs(self):
+        cfg = self.cfg
+        V, F, M, P, CAP = self.V, self.F, self.M, self.P, self.CAP
+        PNP_CAP = self.PNP_CAP
+
+        def build_lookup(match_idx, match_valid, match_dist):
+            """Per-pair left->right and right->left match lookups.
+
+            right_of[p, lf] = the right-view feature matched to left
+            feature lf of pair p (-1 if none); rdist the match distance.
+            Row P and column F are trash. The matcher emits at most one
+            match per left feature, so the scatter is conflict-free."""
+            rows = jnp.arange(P)[:, None]
+            lf = jnp.where(match_valid, match_idx[:, :, 0], F)
+            rf = jnp.where(match_valid, match_idx[:, :, 1], F)
+            right_of = jnp.full((P + 1, F + 1), -1, jnp.int32)
+            right_of = right_of.at[rows, lf].set(
+                jnp.where(match_valid, match_idx[:, :, 1], -1))
+            rdist = jnp.full((P + 1, F + 1), 1e9, jnp.float32)
+            rdist = rdist.at[rows, lf].set(
+                jnp.where(match_valid, match_dist, 1e9))
+            left_of = jnp.full((P + 1, F + 1), -1, jnp.int32)
+            left_of = left_of.at[rows, rf].set(
+                jnp.where(match_valid, match_idx[:, :, 0], -1))
+            return right_of, rdist, left_of
+
+        self._jit_lookup = jax.jit(build_lookup)
+
+        def homography_counts(key, feat_xy, match_idx, match_valid):
+            keys = jax.random.split(key, P)
+
+            def one(k, p):
+                uv1, uv2 = self._pair_uv(feat_xy, match_idx, p)
+                cnt, _, _ = find_homography_inliers(
+                    k, uv1, uv2, match_valid[p],
+                    threshold_px=cfg.ransac_threshold_px,
+                    hypotheses=cfg.ransac_hypotheses // 2)
+                return cnt
+
+            return jax.vmap(one)(keys, jnp.arange(P))
+
+        self._jit_homography = jax.jit(homography_counts)
+
+        from tpusfm.geometry.essential import epipolar_inliers
+
+        def prune_all(key, feat_xy, match_idx, match_valid, focal):
+            K = self._K(focal)
+            Kinv = self._Kinv(focal)
+            keys = jax.random.split(key, P)
+
+            def one(k, p):
+                uv1, uv2 = self._pair_uv(feat_xy, match_idx, p)
+                m = match_valid[p]
+                inl = epipolar_inliers(
+                    k, uv1, uv2, m, K, Kinv,
+                    threshold_px=cfg.epipolar_prune_threshold_px,
+                    hypotheses=cfg.ransac_hypotheses // 2)
+                # only prune pairs with enough matches for the 8-pt solver
+                return jnp.where(jnp.sum(m) >= 16, inl & m, m)
+
+            return jax.vmap(one)(keys, jnp.arange(P))
+
+        self._jit_prune = jax.jit(prune_all)
+        self._jit_solve = jax.jit(self._solve)
+
+    # ------------------------------------------------------------------ #
+    def _solve(self, feat_xy, feat_valid, match_idx, match_valid, match_dist,
+               right_of, rdist, left_of, h_counts, key):
+        cfg = self.cfg
+        V, F, M, P, CAP, PNP_CAP = self.V, self.F, self.M, self.P, self.CAP, self.PNP_CAP
+        use_horn = cfg.decomposition == EssentialDecomposition.HORN90
+
+        st0 = EngineState(
+            xyz=jnp.zeros((CAP + 1, 3), jnp.float32),
+            obs=jnp.full((CAP + 1, V), -1, jnp.int32),
+            feat2point=jnp.full((V, F + 1), -1, jnp.int32),
+            n_points=jnp.zeros((), jnp.int32),
+            poses=jnp.zeros((V, 3, 4), jnp.float32),
+            pose_valid=jnp.zeros((V,), bool),
+            done=jnp.zeros((V,), bool),
+            good=jnp.zeros((V,), bool),
+            focal=jnp.full((), self.f0, jnp.float32),
+            stats=jnp.zeros((V + 1, _STATS_COLS), jnp.float32),
+        )
+
+        # ---- baseline ranking (SfM::sortViewsForBaseline, SfM.cpp:333-364)
+        counts = jnp.sum(match_valid, axis=1)
+        ratio = h_counts / jnp.maximum(counts, 1)
+        eligible = counts >= cfg.min_point_count_for_homography
+        fallback = counts >= 16
+        sortkey = jnp.where(eligible, ratio, jnp.where(fallback, ratio + 10.0, 1e9))
+        order = jnp.argsort(sortkey)
+
+        def baseline_body(carry):
+            c, st, seeded = carry
+            p = order[c]
+            i = self._pairs[p, 0]
+            j = self._pairs[p, 1]
+            valid = match_valid[p]
+            uv1, uv2 = self._pair_uv(feat_xy, match_idx, p)
+            k1 = jax.random.fold_in(key, c)
+            K = self._K(st.focal)
+            Kinv = self._Kinv(st.focal)
+            res = find_camera_from_match(
+                k1, uv1, uv2, valid, K, Kinv,
+                threshold_px=cfg.essential_threshold_px,
+                hypotheses=cfg.ransac_hypotheses,
+                use_horn=use_horn,
+                min_front_frac=cfg.cheirality_min_frac,
+                max_front_reproj_px=cfg.cheirality_max_reproj_px,
+            )
+            # pose-inlier gate (SfM.cpp:264-275, POSE_INLIERS_MINIMAL_RATIO)
+            pose_ok = res.ok & (res.inlier_ratio >= cfg.pose_inliers_minimal_ratio) \
+                & (sortkey[p] < 1e8)
+            Rt1 = jnp.concatenate([jnp.eye(3, dtype=jnp.float32),
+                                   jnp.zeros((3, 1), jnp.float32)], axis=1)
+            xyz, keep, e1, e2 = triangulate_views(
+                Rt1, res.Rt, K, Kinv, uv1, uv2, res.inliers & valid,
+                max_reprojection_error=cfg.min_reprojection_error,
+                iterations=cfg.triangulation_iters)
+            keep = self._adaptive_gate(e1, e2, keep)
+            accept = pose_ok & (jnp.sum(keep) >= 16)
+
+            st2 = st._replace(
+                poses=st.poses.at[i].set(Rt1).at[j].set(res.Rt),
+                pose_valid=st.pose_valid.at[i].set(True).at[j].set(True),
+                done=st.done.at[i].set(True).at[j].set(True),
+                good=st.good.at[i].set(True).at[j].set(True),
+            )
+            st2, n_new, n_merged, n_drop = self._merge_points(
+                st2, xyz, keep & accept, i, j,
+                match_idx[p, :, 0], match_idx[p, :, 1],
+                right_of, rdist, left_of)
+            st2, (ba0, ba1, bait) = jax.lax.cond(
+                accept, lambda s: self._run_ba(s, feat_xy),
+                lambda s: (s, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))), st2)
+            row = jnp.array([0, 0, 0, 0, 0, 0, 0, 0, 0, 0], jnp.float32)
+            row = row.at[S_VIEW].set((i * 100 + j).astype(jnp.float32))
+            row = row.at[S_N2D3D].set(jnp.sum(valid).astype(jnp.float32))
+            row = row.at[S_RATIO].set(res.inlier_ratio)
+            row = row.at[S_OK].set(accept.astype(jnp.float32))
+            row = row.at[S_NEW].set(n_new.astype(jnp.float32))
+            row = row.at[S_MERGED].set(n_merged.astype(jnp.float32))
+            row = row.at[S_DROPPED].set(n_drop.astype(jnp.float32))
+            row = row.at[S_BA0].set(ba0)
+            row = row.at[S_BA1].set(ba1)
+            row = row.at[S_BAIT].set(bait)
+            st2 = st2._replace(stats=st2.stats.at[0].set(row))
+            st_next = _tree_where(accept, st2, st)
+            return c + 1, st_next, seeded | accept
+
+        def baseline_cond(carry):
+            c, _, seeded = carry
+            return (~seeded) & (c < P)
+
+        _, st, seeded = jax.lax.while_loop(
+            baseline_cond, baseline_body,
+            (jnp.zeros((), jnp.int32), st0, jnp.zeros((), bool)))
+
+        # ---- add-view loop (SfM::addMoreViewsToReconstruction, SfM.cpp:366-469)
+        a_all = self._pairs[:, 0]
+        b_all = self._pairs[:, 1]
+
+        def all_2d3d(st):
+            """point_of_feat (V, F+1) + per-view 2D-3D counts
+            (SfM::find2D3DMatches, SfM.cpp:471-528, for every pending view
+            at once)."""
+            fa = match_idx[:, :, 0]
+            fb = match_idx[:, :, 1]
+            pa = st.feat2point[a_all[:, None], jnp.clip(fa, 0, F)]
+            pb = st.feat2point[b_all[:, None], jnp.clip(fb, 0, F)]
+            va = match_valid & (fa >= 0) & (fb >= 0)
+            pof = jnp.full((V, F + 1), -1, jnp.int32)
+            ok1 = va & st.good[b_all][:, None] & ~st.done[a_all][:, None] & (pb >= 0)
+            pof = pof.at[a_all[:, None], jnp.where(ok1, fa, F)].max(
+                jnp.where(ok1, pb, -1))
+            ok2 = va & st.good[a_all][:, None] & ~st.done[b_all][:, None] & (pa >= 0)
+            pof = pof.at[b_all[:, None], jnp.where(ok2, fb, F)].max(
+                jnp.where(ok2, pa, -1))
+            cnt = jnp.sum(pof[:, :F] >= 0, axis=1)
+            return pof, cnt
+
+        def add_view_body(it, st):
+            pof, cnt = all_2d3d(st)
+            cnt = jnp.where(st.done, -1, cnt)
+            best = jnp.argmax(cnt).astype(jnp.int32)
+            n2d3d = cnt[best]
+            st = st._replace(done=st.done.at[best].set(True))   # SfM.cpp:389
+
+            # gather padded 2D-3D correspondences
+            hit = (pof[best, :F] >= 0).astype(jnp.float32)
+            _, sel = jax.lax.top_k(hit, PNP_CAP)
+            mask = hit[sel] > 0
+            pts = pof[best, sel]
+            X = st.xyz[jnp.clip(pts, 0, CAP)]
+            uv = feat_xy[best][sel]
+            K = self._K(st.focal)
+            Kinv = self._Kinv(st.focal)
+            kk = jax.random.fold_in(key, 1000 + it)
+            res = find_camera_pose_2d3d(
+                kk, X, uv, mask, K, Kinv,
+                threshold_px=cfg.pnp_threshold_px,
+                hypotheses=cfg.pnp_hypotheses,
+                min_inlier_ratio=cfg.pose_inliers_minimal_ratio)
+            n_corr = jnp.sum(mask)
+            inl = jnp.sum(res.inliers)
+            detR = jnp.linalg.det(res.Rt[:, :3])
+            pose_ok = (
+                res.ok
+                & (n2d3d >= 6)
+                # legacy inliers >= points/5 gate (MultiCameraPnP.cpp:287)
+                & (inl.astype(jnp.float32) >=
+                   cfg.min_pnp_inlier_fraction * n_corr.astype(jnp.float32))
+                # legacy runaway-translation gate (MultiCameraPnP.cpp:292)
+                & (jnp.linalg.norm(res.Rt[:, 3]) <= cfg.max_translation_norm)
+                # CheckCoherentRotation (FindCameraMatrices.cpp:113-142)
+                & (jnp.abs(detR - 1.0) <= 1e-2)
+            )
+
+            # triangulate vs every good view: matches pruned by the Sampson
+            # gate against the pose-derived E (replaces the reference's
+            # RANSAC re-estimation per pair, SfM.cpp:442-448)
+            def tri_one(g):
+                a = jnp.minimum(best, g)
+                b = jnp.maximum(best, g)
+                p = self._pair_row[a, b]
+                uv_a, uv_b = self._pair_uv(feat_xy, match_idx, p)
+                best_is_a = best < g
+                uv_n = jnp.where(best_is_a, uv_a, uv_b)
+                uv_g = jnp.where(best_is_a, uv_b, uv_a)
+                f_n = jnp.where(best_is_a, match_idx[p, :, 0], match_idx[p, :, 1])
+                f_g = jnp.where(best_is_a, match_idx[p, :, 1], match_idx[p, :, 0])
+                m = match_valid[p] & (g != best) & st.good[g]
+                E = essential_from_poses(res.Rt, st.poses[g])
+                x_n = camera.normalize_points(Kinv, uv_n)
+                x_g = camera.normalize_points(Kinv, uv_g)
+                epi = sampson_error(E, x_n, x_g) < (
+                    cfg.epipolar_prune_threshold_px / st.focal)
+                xyz, keep, e1, e2 = triangulate_views(
+                    res.Rt, st.poses[g], K, Kinv, uv_n, uv_g, m & epi,
+                    max_reprojection_error=cfg.min_reprojection_error,
+                    iterations=cfg.triangulation_iters)
+                keep = self._adaptive_gate(e1, e2, keep)
+                return xyz, keep, f_n, f_g, g
+
+            tri = jax.vmap(tri_one)(jnp.arange(V))
+
+            def merge_slot(carry, slot):
+                st_c, tot = carry
+                xyz_s, keep_s, fn_s, fg_s, g_s = slot
+                st_c, n_new, n_mrg, n_drp = self._merge_points(
+                    st_c, xyz_s, keep_s & pose_ok, best, g_s, fn_s, fg_s,
+                    right_of, rdist, left_of)
+                return (st_c, tot + jnp.array([n_new, n_mrg, n_drp])), None
+
+            st = st._replace(
+                poses=jnp.where(pose_ok, st.poses.at[best].set(res.Rt), st.poses),
+                pose_valid=st.pose_valid.at[best].set(pose_ok | st.pose_valid[best]),
+                good=st.good.at[best].set(pose_ok | st.good[best]),
+            )
+            (st, tots), _ = jax.lax.scan(merge_slot, (st, jnp.zeros((3,), jnp.int32)), tri)
+            st, (ba0, ba1, bait) = jax.lax.cond(
+                pose_ok, lambda s: self._run_ba(s, feat_xy),
+                lambda s: (s, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))), st)
+            row = jnp.stack([
+                best.astype(jnp.float32), n2d3d.astype(jnp.float32),
+                res.inlier_ratio, pose_ok.astype(jnp.float32),
+                tots[0].astype(jnp.float32), tots[1].astype(jnp.float32),
+                tots[2].astype(jnp.float32), ba0, ba1, bait])
+            return st._replace(stats=st.stats.at[1 + it].set(row))
+
+        st = jax.lax.fori_loop(0, V - 2, add_view_body, st)
+
+        # ---- final mean reprojection error over the live observation grid
+        K = self._K(st.focal)
+        obs = st.obs[:CAP]
+        uv = feat_xy[jnp.arange(V)[None, :], jnp.maximum(obs, 0)]
+        w = ((obs >= 0) & st.pose_valid[None, :]
+             & (jnp.arange(CAP) < st.n_points)[:, None])
+
+        def proj_view(Rt, uv_v):
+            return camera.project_points(Rt, K, st.xyz[:CAP]) - uv_v
+
+        r = jax.vmap(proj_view, in_axes=(0, 1), out_axes=1)(st.poses, uv)   # (CAP, V, 2)
+        err = jnp.linalg.norm(r, axis=-1)
+        mean_err = jnp.sum(jnp.where(w, err, 0.0)) / jnp.maximum(jnp.sum(w), 1)
+
+        return dict(
+            poses=st.poses, pose_valid=st.pose_valid,
+            xyz=st.xyz[:CAP], obs=st.obs[:CAP], n_points=st.n_points,
+            focal=st.focal, stats=st.stats, mean_err=mean_err,
+            seeded=seeded,
+        )
+
+    # ------------------------------------------------------------------ #
+    # host driver: a handful of async dispatches + ONE batched fetch
+    # ------------------------------------------------------------------ #
+    def run(self, gray_u8: np.ndarray, extract_fn, match_fn, seed: int = 0):
+        """Execute the full reconstruction.
+
+        gray_u8: (V, H, W) uint8 host images (uint8 keeps the H2D transfer
+        4x smaller than f32 — it is the only host->device transfer).
+        extract_fn: images f32 [0,1] -> Features (the pipeline's detector).
+        match_fn: (Features, pairs (P,2)) -> Matches batch.
+        """
+        t0 = time.perf_counter()
+        key = jax.random.PRNGKey(seed)
+        imgs = jax.device_put(gray_u8)
+        feats = extract_fn(imgs.astype(jnp.float32) / 255.0)
+        jax.block_until_ready(feats.xy)
+        t1 = time.perf_counter()
+
+        m = match_fn(feats, self._pairs)
+        match_idx, match_valid, match_dist = m.idx, m.valid, m.dist
+        jax.block_until_ready(match_valid)
+        t2 = time.perf_counter()
+
+        if self.cfg.epipolar_prune:
+            match_valid = self._jit_prune(
+                jax.random.fold_in(key, 7), feats.xy, match_idx, match_valid,
+                jnp.full((), self.f0, jnp.float32))
+            jax.block_until_ready(match_valid)
+        t3 = time.perf_counter()
+
+        right_of, rdist, left_of = self._jit_lookup(match_idx, match_valid, match_dist)
+        h_counts = self._jit_homography(
+            jax.random.fold_in(key, 11), feats.xy, match_idx, match_valid)
+        jax.block_until_ready(h_counts)
+        t4 = time.perf_counter()
+
+        out = self._jit_solve(feats.xy, feats.valid, match_idx, match_valid,
+                              match_dist, right_of, rdist, left_of, h_counts,
+                              jax.random.fold_in(key, 13))
+        jax.block_until_ready(out["n_points"])
+        t5 = time.perf_counter()
+
+        fetched = jax.device_get(dict(out, feat_xy=feats.xy, feat_valid=feats.valid))
+        t6 = time.perf_counter()
+        self.timings = {
+            "features_s": t1 - t0, "matching_s": t2 - t1, "prune_s": t3 - t2,
+            "rank_s": t4 - t3, "solve_s": t5 - t4, "fetch_s": t6 - t5,
+            "total_s": t6 - t0,
+        }
+        return fetched

@@ -145,6 +145,7 @@ class SfMPipeline:
         runs — e.g. benchmarking — pay no recompilation)."""
         cfg = self.cfg
         self.intr = self._init_intr
+        self._seed = seed
         self._key = jax.random.PRNGKey(seed)
         self._timings = {}
         # --- host track-graph state ---
@@ -161,7 +162,9 @@ class SfMPipeline:
         self.feat_xy: Optional[np.ndarray] = None
         self.match_idx: Optional[np.ndarray] = None   # (P, M, 2)
         self.match_valid: Optional[np.ndarray] = None  # (P, M)
+        self.match_dist: Optional[np.ndarray] = None   # (P, M)
         self.pair_of: Dict[Tuple[int, int], int] = {}
+        self._lookup = None                            # match lookup cache
 
     # ------------------------------------------------------------------ #
     # jitted kernels (compiled once per static shape)
@@ -248,6 +251,11 @@ class SfMPipeline:
                 threshold_px=cfg.essential_threshold_px,
                 hypotheses=cfg.ransac_hypotheses,
                 use_horn=cfg.decomposition == EssentialDecomposition.HORN90,
+                # legacy cheirality acceptance gates: >=75 % of inliers in
+                # front + reprojection < 100 px (FindCameraMatrices.cpp:277-326,
+                # :465-470)
+                min_front_frac=cfg.cheirality_min_frac,
+                max_front_reproj_px=cfg.cheirality_max_reproj_px,
             )
         )
 
@@ -353,7 +361,7 @@ class SfMPipeline:
                                 MatcherKind.STEREO):
             self._match_optical_flow()
             return
-        idx_chunks, valid_chunks = [], []
+        idx_chunks, valid_chunks, dist_chunks = [], [], []
         for s in range(0, len(pairs), _PAIR_CHUNK):
             chunk = pairs[s : s + _PAIR_CHUNK]
             pad = _PAIR_CHUNK - len(chunk)
@@ -365,8 +373,10 @@ class SfMPipeline:
                 m = self._jit_match(self.features, jnp.asarray(arr))
             idx_chunks.append(np_of(m.idx)[: len(chunk)])
             valid_chunks.append(np_of(m.valid)[: len(chunk)])
+            dist_chunks.append(np_of(m.dist)[: len(chunk)])
         self.match_idx = np.concatenate(idx_chunks, 0)
         self.match_valid = np.concatenate(valid_chunks, 0)
+        self.match_dist = np.concatenate(dist_chunks, 0)
         self._timings["matching_s"] = time.perf_counter() - t0
         counts = self.match_valid.sum(1)
         self._log(2, f"matching: {len(pairs)} pairs, median {int(np.median(counts))} matches "
@@ -429,7 +439,7 @@ class SfMPipeline:
                     max_matches=cfg.max_matches,
                 ))
         gray = jnp.asarray(self.gray)
-        idx_list, valid_list = [], []
+        idx_list, valid_list, dist_list = [], [], []
         for (i, j) in self.pairs:
             m = self._jit_of_match(
                 gray[i], gray[j],
@@ -437,8 +447,10 @@ class SfMPipeline:
                 self.features.xy[j], self.features.valid[j])
             idx_list.append(np_of(m.idx))
             valid_list.append(np_of(m.valid))
+            dist_list.append(np_of(m.dist))
         self.match_idx = np.stack(idx_list, 0)
         self.match_valid = np.stack(valid_list, 0)
+        self.match_dist = np.stack(dist_list, 0)
         self._timings["matching_s"] = time.perf_counter() - t0
         counts = self.match_valid.sum(1)
         self._log(2, f"LK-flow matching: {len(self.pairs)} pairs, median "
@@ -683,6 +695,13 @@ class SfMPipeline:
                 self._log(3, f"view {view}: PnP inlier ratio {float(res.inlier_ratio):.2f} < "
                              f"{self.cfg.pose_inliers_minimal_ratio} — skipped")
                 continue
+            # legacy sanity gate: inliers >= points/5 (MultiCameraPnP.cpp:287)
+            n_inl = int(np_of(res.inliers).sum())
+            if n_inl < self.cfg.min_pnp_inlier_fraction * n:
+                self._log(3, f"view {view}: {n_inl} PnP inliers < "
+                             f"{self.cfg.min_pnp_inlier_fraction:.2f} x {n} correspondences "
+                             f"— rejected (MultiCameraPnP.cpp:287)")
+                continue
             Rt_new = np_of(res.Rt)
             # legacy pose sanity gates (MultiCameraPnP.cpp:287-299):
             # runaway translation and incoherent (det != +1) rotations
@@ -882,8 +901,89 @@ class SfMPipeline:
         out[ok] = (acc[ok] / cnt[ok, None]).round().astype(np.uint8)
         return out
 
+    # ------------------------------------------------------------------ #
+    # fused device-resident path (pipeline/engine.py)
+    # ------------------------------------------------------------------ #
+    def _fused_applicable(self) -> bool:
+        from tpusfm.config import MatcherKind
+
+        return (
+            self.cfg.fused
+            and self.cfg.matcher == MatcherKind.RICH
+            and not self.cfg.ba_refine_pp
+            and not self._listeners          # observers need per-view host snapshots
+        )
+
+    def _run_fused(self) -> Reconstruction:
+        """Device-resident execution: the whole incremental loop runs as
+        one jitted program (see pipeline/engine.py); the host performs a
+        single H2D image upload and a single batched result fetch."""
+        from tpusfm.pipeline.engine import FusedEngine
+
+        if not hasattr(self, "_engine"):
+            K = np_of(self.intr.K)
+            self._engine = FusedEngine(self.cfg, self.V, self.H, self.W,
+                                       f=float(K[0, 0]), cx=float(K[0, 2]),
+                                       cy=float(K[1, 2]))
+        if self._use_pallas_matcher:
+            match_fn = lambda feats, pairs: self._jit_match_pallas(
+                feats.desc, feats.valid, pairs)
+        else:
+            match_fn = self._jit_match
+        gray_u8 = (np.clip(self.gray, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        self._fused_runs = getattr(self, "_fused_runs", -1) + 1
+        out = self._engine.run(gray_u8, self._jit_extract, match_fn,
+                               seed=self._seed + self._fused_runs)
+        if not bool(out["seeded"]):
+            raise RuntimeError(
+                "no baseline pair could seed the reconstruction "
+                "(reference aborts the same way, MultiCameraPnP.cpp:144-147)")
+
+        # mirror results into the host-side state for downstream consumers
+        n = int(out["n_points"])
+        self.n_points = n
+        cap = max(self.xyz.shape[0], n)
+        self.xyz = np.zeros((cap, 3), np.float32)
+        self.obs = np.full((cap, self.V), -1, np.int32)
+        self.xyz[:n] = out["xyz"][:n]
+        self.obs[:n] = out["obs"][:n]
+        self.poses = np.array(out["poses"])
+        self.pose_valid = np.array(out["pose_valid"])
+        self.feat_xy = np.array(out["feat_xy"])
+        self.feat_valid = np.array(out["feat_valid"])
+        self.done_views = set(range(self.V))
+        self.good_views = set(int(v) for v in np.nonzero(self.pose_valid)[0])
+        self.intr = Intrinsics.create(float(out["focal"]), self.W / 2.0, self.H / 2.0)
+        self._timings.update(self._engine.timings)
+        stats = np.array(out["stats"])
+        self._timings["ba_iters"] = int(stats[:, 9].sum())
+        for r, row in enumerate(stats):
+            if r == 0:
+                i, j = int(row[0]) // 100, int(row[0]) % 100
+                self._log(2, f"baseline {i},{j}: {int(row[4])} seed points "
+                             f"(pose inliers {row[2]:.2f}), BA {row[7]:.1f} -> {row[8]:.1f} "
+                             f"in {int(row[9])} iters")
+            elif row[1] > 0 or row[3] > 0:
+                self._log(2, f"view {int(row[0])}: {int(row[1])} 2D-3D matches, "
+                             f"PnP ratio {row[2]:.2f}, ok={bool(row[3])}, "
+                             f"+{int(row[4])} new / {int(row[5])} merged / "
+                             f"{int(row[6])} dropped, BA {row[7]:.1f} -> {row[8]:.1f} "
+                             f"in {int(row[9])} iters")
+        err = float(out["mean_err"])
+        self._log(2, f"done (fused): {n} points, {int(self.pose_valid.sum())}/{self.V} "
+                     f"cameras, mean reprojection error {err:.3f}px, "
+                     f"{self._timings['total_s']:.2f}s")
+        return Reconstruction(
+            poses=self.poses.copy(), pose_valid=self.pose_valid.copy(),
+            xyz=self.xyz[:n].copy(), rgb=self._point_colors(),
+            obs=self.obs[:n].copy(), K=np_of(self.intr.K),
+            mean_reprojection_error=err, stats=dict(self._timings),
+        )
+
     def run(self) -> Reconstruction:
         """Full pipeline (SfM::runSfM, SfM.cpp:63-95)."""
+        if self._fused_applicable():
+            return self._run_fused()
         t0 = time.perf_counter()
         self.extract()
         self.match()
