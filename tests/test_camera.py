@@ -86,3 +86,34 @@ def test_relative_pose():
     x2a = camera.transform_points(p2, pts)
     x2b = camera.transform_points(rel, x1)
     np.testing.assert_allclose(np.asarray(x2a), np.asarray(x2b), atol=1e-4)
+
+
+def test_undistort_points_roundtrip():
+    """undistort_points inverts the Brown model to sub-0.01px (the wiring
+    for calibrated datasets, MultiCameraDistance.cpp:78-89 /
+    SfMStereoUtilities.cpp:146-147)."""
+    import numpy as np
+
+    from tpusfm import camera as cam
+    from tpusfm.types import Intrinsics
+
+    rng = np.random.default_rng(0)
+    intr = Intrinsics.create(800.0, 320.0, 240.0,
+                             dist=[-0.28, 0.08, 1e-3, -5e-4, 0.0])
+    xyn = jnp.asarray(rng.uniform(-0.3, 0.3, (64, 2)).astype(np.float32))
+    ideal_px = xyn * 800.0 + jnp.array([320.0, 240.0])
+    dist_px = cam.distort_normalized(intr.dist, xyn) * 800.0 + jnp.array([320.0, 240.0])
+    rec = cam.undistort_points(intr.K, intr.Kinv, intr.dist, dist_px)
+    assert float(jnp.abs(rec - ideal_px).max()) < 0.01
+
+
+def test_undistort_points_identity_when_zero():
+    import numpy as np
+
+    from tpusfm import camera as cam
+    from tpusfm.types import Intrinsics
+
+    intr = Intrinsics.create(800.0, 320.0, 240.0)
+    uv = jnp.asarray(np.random.default_rng(1).uniform(0, 640, (32, 2)).astype(np.float32))
+    rec = cam.undistort_points(intr.K, intr.Kinv, intr.dist, uv)
+    assert float(jnp.abs(rec - uv).max()) < 1e-3

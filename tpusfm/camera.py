@@ -188,6 +188,41 @@ def normalize_points(Kinv: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return n[:, :2] / n[:, 2:3]
 
 
+def distort_normalized(dist: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Apply the 5-coefficient Brown model (k1 k2 p1 p2 k3) to normalized
+    camera coords (N,2) — cv::projectPoints' distortion convention."""
+    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    x, y = xy[:, 0], xy[:, 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([xd, yd], axis=1)
+
+
+def undistort_points(K: jnp.ndarray, Kinv: jnp.ndarray, dist: jnp.ndarray,
+                     uv: jnp.ndarray, iterations: int = 8) -> jnp.ndarray:
+    """Undistort pixel coords (N,2) -> ideal pixel coords (N,2).
+
+    The role of cv::undistortPoints in the reference's triangulation
+    (SfMStereoUtilities.cpp:146-147) and of the calibrated legacy path
+    (MultiCameraDistance.cpp:78-89): fixed-point iteration of the inverse
+    Brown model in normalized coordinates, then re-projection through K.
+    With zero coefficients this is the identity, so the pipeline applies
+    it unconditionally right after feature extraction and every
+    downstream stage stays pinhole.
+    """
+    xyn = normalize_points(Kinv, uv)
+
+    def body(_, x):
+        d = distort_normalized(dist, x)
+        return x - (d - xyn)
+
+    x = jax.lax.fori_loop(0, iterations, body, xyn)
+    f = jnp.array([K[0, 0], K[1, 1]])
+    return x * f + K[:2, 2]
+
+
 def relative_pose(Rt_a: jnp.ndarray, Rt_b: jnp.ndarray) -> jnp.ndarray:
     """Pose of camera b relative to camera a: x_b = R_rel x_a + t_rel."""
     Ra, ta = pose_R(Rt_a), pose_t(Rt_a)

@@ -54,6 +54,15 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p,
     ]
+    lib.tpusfm_insert_points_v2.restype = ctypes.c_int
+    lib.tpusfm_insert_points_v2.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_void_p,
+    ]
     lib.tpusfm_find_2d3d.restype = ctypes.c_int
     lib.tpusfm_find_2d3d.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -122,6 +131,39 @@ def insert_points(xyz: np.ndarray, obs: np.ndarray, feat2point: np.ndarray,
         _ptr(xyz), _ptr(obs), _ptr(feat2point), cap, V, F, n_points,
         vi, vj, _ptr(nxyz), _ptr(fi), _ptr(fj), len(fi), _ptr(stats))
     return n2, int(stats[0]), int(stats[1])
+
+
+def insert_points_v2(xyz: np.ndarray, obs: np.ndarray, feat2point: np.ndarray,
+                     n_points: int, vi: int, vj: int, new_xyz: np.ndarray,
+                     fi: np.ndarray, fj: np.ndarray, pair_row: np.ndarray,
+                     right_of: np.ndarray, rdist: np.ndarray,
+                     left_of: np.ndarray, merge_dist: float, feat_dist: float,
+                     strengthen: bool):
+    """Native full mergeNewPointCloud (SfM.cpp:530-629): exact + transitive
+    feature claims, 3D-distance merge with feature confirmation, sequential
+    like the reference. Mutates xyz/obs/feat2point in place.
+
+    Returns (new_n_points, appended, merged, dropped) or None.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    cap, V = obs.shape
+    F = feat2point.shape[1]
+    stats = np.zeros(3, np.int32)
+    nxyz = np.ascontiguousarray(new_xyz, np.float32)
+    fi = np.ascontiguousarray(fi, np.int32)
+    fj = np.ascontiguousarray(fj, np.int32)
+    pr = np.ascontiguousarray(pair_row, np.int32)
+    ro = np.ascontiguousarray(right_of, np.int32)
+    rd = np.ascontiguousarray(rdist, np.float32)
+    lo = np.ascontiguousarray(left_of, np.int32)
+    n2 = lib.tpusfm_insert_points_v2(
+        _ptr(xyz), _ptr(obs), _ptr(feat2point), cap, V, F, n_points,
+        vi, vj, _ptr(nxyz), _ptr(fi), _ptr(fj), len(fi),
+        _ptr(pr), _ptr(ro), _ptr(rd), _ptr(lo),
+        merge_dist, feat_dist, int(strengthen), _ptr(stats))
+    return n2, int(stats[0]), int(stats[1]), int(stats[2])
 
 
 def find_2d3d(feat2point: np.ndarray, view: int, good_views, pair_row: np.ndarray,

@@ -606,17 +606,28 @@ class FusedEngine:
         extract_fn: images f32 [0,1] -> Features (the pipeline's detector).
         match_fn: (Features, pairs (P,2)) -> Matches batch.
         """
+        import os as _os
+
+        verbose = bool(_os.environ.get("TPUSFM_ENGINE_VERBOSE"))
+
+        def _v(msg):
+            if verbose:
+                print(f"[engine +{time.perf_counter() - t0:7.1f}s] {msg}",
+                      flush=True)
+
         t0 = time.perf_counter()
         key = jax.random.PRNGKey(seed)
         imgs = jax.device_put(gray_u8)
         feats = extract_fn(imgs.astype(jnp.float32) / 255.0)
         jax.block_until_ready(feats.xy)
         t1 = time.perf_counter()
+        _v("features done")
 
         m = match_fn(feats, self._pairs)
         match_idx, match_valid, match_dist = m.idx, m.valid, m.dist
         jax.block_until_ready(match_valid)
         t2 = time.perf_counter()
+        _v("matching done")
 
         if self.cfg.epipolar_prune:
             match_valid = self._jit_prune(
@@ -624,18 +635,21 @@ class FusedEngine:
                 jnp.full((), self.f0, jnp.float32))
             jax.block_until_ready(match_valid)
         t3 = time.perf_counter()
+        _v("prune done")
 
         right_of, rdist, left_of = self._jit_lookup(match_idx, match_valid, match_dist)
         h_counts = self._jit_homography(
             jax.random.fold_in(key, 11), feats.xy, match_idx, match_valid)
         jax.block_until_ready(h_counts)
         t4 = time.perf_counter()
+        _v("ranking done")
 
         out = self._jit_solve(feats.xy, feats.valid, match_idx, match_valid,
                               match_dist, right_of, rdist, left_of, h_counts,
                               jax.random.fold_in(key, 13))
         jax.block_until_ready(out["n_points"])
         t5 = time.perf_counter()
+        _v("solve done")
 
         fetched = jax.device_get(dict(out, feat_xy=feats.xy, feat_valid=feats.valid))
         t6 = time.perf_counter()

@@ -337,9 +337,23 @@ class SfMPipeline:
     # ------------------------------------------------------------------ #
     # pipeline stages
     # ------------------------------------------------------------------ #
+    def _undistort_features(self, feats: Features) -> Features:
+        """Undistort keypoint coordinates once, right after extraction,
+        when the calibration carries distortion (legacy
+        MultiCameraDistance.cpp:78-89 loads real coefficients; the
+        reference undistorts inside triangulation,
+        SfMStereoUtilities.cpp:146-147). Every downstream stage is then
+        purely pinhole."""
+        if not np.any(np_of(self.intr.dist) != 0):
+            return feats
+        und = jax.jit(jax.vmap(functools.partial(
+            camera.undistort_points, self.intr.K, self.intr.Kinv, self.intr.dist)))
+        return Features(xy=und(feats.xy), desc=feats.desc, score=feats.score,
+                        angle=feats.angle, valid=feats.valid)
+
     def extract(self):
         t0 = time.perf_counter()
-        self.features = self._jit_extract(jnp.asarray(self.gray))
+        self.features = self._undistort_features(self._jit_extract(jnp.asarray(self.gray)))
         self.features.xy.block_until_ready()
         self.feat_xy = np_of(self.features.xy)
         self.feat_valid = np_of(self.features.valid)
@@ -567,62 +581,141 @@ class SfMPipeline:
     # ------------------------------------------------------------------ #
     # track graph bookkeeping (host)
     # ------------------------------------------------------------------ #
+    def _match_lookup(self):
+        """(pair_row (V,V), right_of, rdist, left_of) host lookup tables.
+
+        right_of[p, lf] = right-view feature matched to left feature lf of
+        pair p (-1 if none); rdist the match distance; left_of the inverse.
+        Row P and column F are trash slots."""
+        if self._lookup is None:
+            P, M = self.match_idx.shape[:2]
+            F = self.cfg.max_features
+            pair_row = np.full((self.V, self.V), P, np.int32)
+            for (a, b), p in self.pair_of.items():
+                pair_row[a, b] = p
+            rows = np.arange(P)[:, None]
+            mv = self.match_valid
+            lf = np.where(mv, self.match_idx[:, :, 0], F)
+            rf = np.where(mv, self.match_idx[:, :, 1], F)
+            right_of = np.full((P + 1, F + 1), -1, np.int32)
+            right_of[rows, lf] = np.where(mv, self.match_idx[:, :, 1], -1)
+            rdist = np.full((P + 1, F + 1), 1e9, np.float32)
+            if self.match_dist is not None:
+                rdist[rows, lf] = np.where(mv, self.match_dist, 1e9)
+            left_of = np.full((P + 1, F + 1), -1, np.int32)
+            left_of[rows, rf] = np.where(mv, self.match_idx[:, :, 0], -1)
+            self._lookup = (pair_row, right_of, rdist, left_of)
+        return self._lookup
+
     def _insert_points(self, xyz: np.ndarray, vi: int, fi: np.ndarray, vj: int, fj: np.ndarray):
         """Merge newly triangulated points into the map.
 
-        Equivalent of SfM::mergeNewPointCloud (SfM.cpp:530-629): a new
-        point whose feature in either view is already claimed by an
-        existing map point just adds its other observation to that point
-        (the reference's "matching feature" confirmation); otherwise it is
-        appended as a new point.
+        Full SfM::mergeNewPointCloud semantics (SfM.cpp:530-629, constants
+        :50-51): exact-feature claims extend tracks; transitive claims via
+        the match matrix (legacy strengthening, MultiCameraPnP.cpp:393-441)
+        attach to points found one hop away; points within
+        merge_point_min_match_distance of an existing point merge when a
+        2D feature match of distance < merge_feature_min_match_distance
+        confirms them, and are dropped when close but unconfirmed
+        (SfM.cpp:596-600); the rest append.
 
-        Runs on the native C++ runtime (csrc/trackgraph.cc) when built;
-        the numpy path below is the always-available fallback."""
+        Runs on the native C++ runtime (csrc/trackgraph.cc,
+        tpusfm_insert_points_v2) when built; vectorized numpy fallback."""
         from tpusfm import native
 
+        cfg = self.cfg
+        F = cfg.max_features
         n_new_req = len(fi)
         if self.n_points + n_new_req > self.xyz.shape[0]:
             grow = max(self.xyz.shape[0], n_new_req)
             self.xyz = np.concatenate([self.xyz, np.zeros((grow, 3), np.float32)])
             self.obs = np.concatenate([self.obs, np.full((grow, self.V), -1, np.int32)])
+        pair_row, right_of, rdist, left_of = self._match_lookup()
+
         if native.available():
-            out = native.insert_points(self.xyz, self.obs, self.feat2point,
-                                       self.n_points, vi, vj, xyz, fi, fj)
+            out = native.insert_points_v2(
+                self.xyz, self.obs, self.feat2point, self.n_points, vi, vj,
+                xyz, fi, fj, pair_row, right_of, rdist, left_of,
+                cfg.merge_point_min_match_distance,
+                cfg.merge_feature_min_match_distance,
+                cfg.cross_view_strengthen)
             if out is not None:
-                self.n_points, appended, merged = out
-                self._log(1, f"  merge: {appended} new points, {merged} merged observations")
+                self.n_points, appended, merged, dropped = out
+                self._log(1, f"  merge: {appended} new points, {merged} merged, "
+                             f"{dropped} dropped")
                 return
-        pi = self.feat2point[vi, fi]
-        pj = self.feat2point[vj, fj]
 
-        # attach observations to existing points
-        known_i = pi >= 0
-        known_j = pj >= 0
-        attach_j = known_i & ~known_j           # point known via vi -> add vj obs
-        attach_i = known_j & ~known_i           # point known via vj -> add vi obs
-        self.obs[pi[attach_j], vj] = fj[attach_j]
-        self.feat2point[vj, fj[attach_j]] = pi[attach_j]
-        self.obs[pj[attach_i], vi] = fi[attach_i]
-        self.feat2point[vi, fi[attach_i]] = pj[attach_i]
+        fi = np.asarray(fi, np.int64)
+        fj = np.asarray(fj, np.int64)
+        n = self.n_points
+        # exact-feature claims
+        pi = self.feat2point[vi, np.clip(fi, 0, F - 1)]
+        pj = self.feat2point[vj, np.clip(fj, 0, F - 1)]
+        target = np.where(pi >= 0, pi, pj).astype(np.int64)
 
-        # brand-new points
-        new = ~known_i & ~known_j
+        # transitive claims (legacy strengthening)
+        if cfg.cross_view_strengthen:
+            for w in range(self.V):
+                if w == vi or w == vj:
+                    continue
+                for v_new, f_new in ((vi, fi), (vj, fj)):
+                    a, b = min(v_new, w), max(v_new, w)
+                    p = pair_row[a, b]
+                    table = right_of if v_new < w else left_of
+                    cand = table[p, np.clip(f_new, 0, F)]
+                    p3d = self.feat2point[w, np.clip(cand, 0, F - 1)]
+                    hit = (cand >= 0) & (p3d >= 0)
+                    target = np.where((target < 0) & hit, p3d, target)
+
+        # 3D-distance merge with 2D feature confirmation
+        close = np.zeros(len(fi), bool)
+        if n > 0:
+            d2 = ((xyz[:, None, :] - self.xyz[None, :n, :]) ** 2).sum(-1)
+            ne = d2.argmin(1)
+            close = d2.min(1) < cfg.merge_point_min_match_distance ** 2
+            obs_ne = self.obs[ne]                                     # (Mn, V)
+            confirmed = np.zeros(len(fi), bool)
+            for v_new, f_new in ((vi, fi), (vj, fj)):
+                w = np.arange(self.V)
+                a = np.minimum(v_new, w)
+                b = np.maximum(v_new, w)
+                p = pair_row[a, b]
+                new_left = v_new < w
+                lf = np.where(new_left[None, :], f_new[:, None], obs_ne)
+                rf = np.where(new_left[None, :], obs_ne, f_new[:, None])
+                lf_s = np.clip(lf, 0, F)
+                hit = ((obs_ne >= 0) & (w[None, :] != v_new)
+                       & (right_of[p[None, :], lf_s] == rf)
+                       & (rdist[p[None, :], lf_s] < cfg.merge_feature_min_match_distance))
+                confirmed |= hit.any(1)
+            target = np.where((target < 0) & close & confirmed, ne, target)
+
+        attach = target >= 0
+        drop = ~attach & close
+        new = ~attach & ~drop
+
+        # attach both observations to the target point
+        t_at = target[attach]
+        self.obs[t_at, vi] = fi[attach]
+        self.obs[t_at, vj] = fj[attach]
+        self.feat2point[vi, fi[attach]] = t_at
+        self.feat2point[vj, fj[attach]] = t_at
+
         n_new = int(new.sum())
         if n_new:
             if self.n_points + n_new > self.xyz.shape[0]:
                 grow = max(self.xyz.shape[0], n_new)
                 self.xyz = np.concatenate([self.xyz, np.zeros((grow, 3), np.float32)])
                 self.obs = np.concatenate([self.obs, np.full((grow, self.V), -1, np.int32)])
-            sl = slice(self.n_points, self.n_points + n_new)
             rows = np.arange(self.n_points, self.n_points + n_new)
-            self.xyz[sl] = xyz[new]
+            self.xyz[rows] = xyz[new]
             self.obs[rows, vi] = fi[new]
             self.obs[rows, vj] = fj[new]
             self.feat2point[vi, fi[new]] = rows
             self.feat2point[vj, fj[new]] = rows
             self.n_points += n_new
-        merged = int(attach_i.sum() + attach_j.sum())
-        self._log(1, f"  merge: {n_new} new points, {merged} merged observations")
+        self._log(1, f"  merge: {n_new} new points, {int(attach.sum())} merged, "
+                     f"{int(drop.sum())} dropped")
 
     def find_2d3d_matches(self, view: int):
         """2D-3D correspondences for an unregistered view
@@ -826,6 +919,7 @@ class SfMPipeline:
             feat_angle=np_of(self.features.angle) if self.features is not None else np.zeros(0),
             match_idx=self.match_idx if self.match_idx is not None else np.zeros(0),
             match_valid=self.match_valid if self.match_valid is not None else np.zeros(0),
+            match_dist=self.match_dist if self.match_dist is not None else np.zeros(0),
         )
 
     def load_checkpoint(self, path: str):
@@ -854,6 +948,8 @@ class SfMPipeline:
         if d["match_idx"].size:
             self.match_idx = d["match_idx"]
             self.match_valid = d["match_valid"]
+            if "match_dist" in d and d["match_dist"].size:
+                self.match_dist = d["match_dist"]
             self.pairs = [(i, j) for i in range(self.V) for j in range(i + 1, self.V)]
             self.pair_of = {p: n_ for n_, p in enumerate(self.pairs)}
 
@@ -930,9 +1026,11 @@ class SfMPipeline:
                 feats.desc, feats.valid, pairs)
         else:
             match_fn = self._jit_match
+        base_extract = self._jit_extract
+        extract_fn = lambda imgs: self._undistort_features(base_extract(imgs))
         gray_u8 = (np.clip(self.gray, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
         self._fused_runs = getattr(self, "_fused_runs", -1) + 1
-        out = self._engine.run(gray_u8, self._jit_extract, match_fn,
+        out = self._engine.run(gray_u8, extract_fn, match_fn,
                                seed=self._seed + self._fused_runs)
         if not bool(out["seeded"]):
             raise RuntimeError(
