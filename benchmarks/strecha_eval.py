@@ -26,21 +26,21 @@ import numpy as np
 
 
 def load_strecha_camera(path: str):
-    """Parse one .camera file -> (K (3,3), Rt (3,4) world->camera)."""
+    """Parse one .camera file -> (K (3,3), dist (3,), Rt (3,4) world->camera)."""
     vals = []
     for line in open(path):
         vals.extend(float(x) for x in line.split())
     vals = np.asarray(vals, np.float64)
     K = vals[:9].reshape(3, 3)
-    # vals[9:12] distortion (unused here)
+    dist = vals[9:12]                  # radial distortion (k1 k2 k3)
     R_cw = vals[12:21].reshape(3, 3)   # camera -> world
     c = vals[21:24]                    # camera center, world coords
     R = R_cw.T                         # world -> camera
     t = -R @ c
-    return K, np.concatenate([R, t[:, None]], axis=1)
+    return K, dist, np.concatenate([R, t[:, None]], axis=1)
 
 
-def evaluate(dataset_dir: str, downscale: float = 2.0):
+def evaluate(dataset_dir: str, downscale: float = 2.0, config=None):
     from tpusfm import SfMConfig
     from tpusfm.eval import ate_rmse, rotation_errors_deg
     from tpusfm.io import load_image_directory
@@ -52,13 +52,22 @@ def evaluate(dataset_dir: str, downscale: float = 2.0):
         raise FileNotFoundError(f"no .camera ground-truth files in {dataset_dir}")
     gt = [load_strecha_camera(os.path.join(dataset_dir, f)) for f in cam_files]
     gt_K = gt[0][0]
-    gt_poses = np.stack([g[1] for g in gt])
+    gt_poses = np.stack([g[2] for g in gt])
+    k1, k2, k3 = gt[0][1]
 
     imgs = load_image_directory(dataset_dir, downscale)
     f = 0.5 * (gt_K[0, 0] + gt_K[1, 1]) / downscale
-    intr = Intrinsics.create(f, gt_K[0, 2] / downscale, gt_K[1, 2] / downscale)
-    pipe = SfMPipeline(imgs.gray, SfMConfig(downscale=downscale), images_rgb=imgs.rgb,
-                       intrinsics=intr)
+    # calibrated-distortion path (legacy MultiCameraDistance.cpp:78-89):
+    # radial coefficients act on normalized coords, invariant to downscale
+    intr = Intrinsics.create(f, gt_K[0, 2] / downscale, gt_K[1, 2] / downscale,
+                             dist=[k1, k2, 0.0, 0.0, k3])
+    # Calibrated evaluation: K is ground truth, so BA must NOT float the
+    # focal (a free shared focal on a near-linear trajectory drifts into
+    # the dolly-zoom ambiguity and warps the track). This mirrors the
+    # legacy calibrated path, which keeps the loaded K fixed outside BA
+    # (MultiCameraDistance.cpp:78-89).
+    cfg = config or SfMConfig(downscale=downscale, ba_share_focal=False)
+    pipe = SfMPipeline(imgs.gray, cfg, images_rgb=imgs.rgb, intrinsics=intr)
     rec = pipe.run()
 
     sel = rec.pose_valid
@@ -78,6 +87,24 @@ def evaluate(dataset_dir: str, downscale: float = 2.0):
 
 
 if __name__ == "__main__":
-    d = sys.argv[1]
-    ds = float(sys.argv[sys.argv.index("--downscale") + 1]) if "--downscale" in sys.argv else 2.0
-    print(json.dumps(evaluate(d, ds)))
+    if len(sys.argv) > 1 and sys.argv[1] == "--fixture":
+        # No Strecha dataset in the sandbox: render the Strecha-format
+        # synthetic fixture (with real radial distortion) and evaluate on
+        # it, recording the result next to the BENCH artifacts.
+        import tempfile
+
+        from benchmarks.strecha_fixture import make_fixture
+
+        d = os.path.join(tempfile.gettempdir(), "strecha_fixture")
+        if not os.path.isdir(d) or not any(f.endswith(".camera") for f in os.listdir(d)):
+            make_fixture(d, dist=(-0.20, 0.05, 0.0))
+        result = evaluate(d, downscale=1.0)
+        result["detail"]["dataset"] = "synthetic Strecha-format fixture (k1=-0.2, k2=0.05)"
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "STRECHA_ATE.json")
+        json.dump(result, open(out, "w"), indent=1)
+        print(json.dumps(result))
+    else:
+        d = sys.argv[1]
+        ds = float(sys.argv[sys.argv.index("--downscale") + 1]) if "--downscale" in sys.argv else 2.0
+        print(json.dumps(evaluate(d, ds)))

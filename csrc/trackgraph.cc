@@ -99,15 +99,22 @@ int tpusfm_insert_points_v2(
     int32_t target = pa >= 0 ? pa : pb;
 
     if (target < 0 && strengthen) {  // transitive claims
+      auto hop_dist = [&](int v_new, int32_t f_new, int32_t cand, int w) -> float {
+        const int aa = v_new < w ? v_new : w;
+        const int bb = v_new < w ? w : v_new;
+        const int32_t p = pair_row[(int64_t)aa * V + bb];
+        const int32_t lf = v_new < w ? f_new : cand;
+        return (lf >= 0 && lf < F) ? rdist[p * L + lf] : 1e9f;
+      };
       for (int w = 0; w < V && target < 0; w++) {
         if (w == vi || w == vj) continue;
         int32_t cand = partner(vi, a, w);
-        if (cand >= 0 && cand < F) {
+        if (cand >= 0 && cand < F && hop_dist(vi, a, cand, w) < feat_dist) {
           const int32_t p3d = feat2point[(int64_t)w * F + cand];
           if (p3d >= 0) { target = p3d; break; }
         }
         cand = partner(vj, b, w);
-        if (cand >= 0 && cand < F) {
+        if (cand >= 0 && cand < F && hop_dist(vj, b, cand, w) < feat_dist) {
           const int32_t p3d = feat2point[(int64_t)w * F + cand];
           if (p3d >= 0) { target = p3d; break; }
         }

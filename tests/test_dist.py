@@ -88,3 +88,47 @@ def test_sharded_ba_deterministic(mesh):
                                  uv, mask, intr.K, max_iterations=10)
     np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
     np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))
+
+
+def test_sparse_ba_sharded_matches_single(eight_devices):
+    """COO distributed BA (dist/sparse_ba.py): 8-shard solve reaches the
+    same optimum as the single-device sparse solver on the same problem."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests import fixtures
+    from tpusfm import camera
+    from tpusfm.ba.sparse import adjust_bundle_sparse
+    from tpusfm.dist import adjust_bundle_sparse_sharded, make_mesh
+
+    rng = np.random.default_rng(0)
+    V, N = 4, 64                      # divisible by the 8-device mesh
+    intr = fixtures.intrinsics()
+    pts = np.stack([rng.uniform(-6, 6, N), rng.uniform(-4, 4, N),
+                    rng.uniform(12, 30, N)], 1).astype(np.float32)
+    Rt = jnp.stack([
+        fixtures.mock_pose((2.0 * v, -1.0 * v, 0.5 * v), (-0.5 * v, 0.05 * v, 1.0))
+        for v in range(V)])
+    Rtn = np.asarray(Rt)
+    cidx = np.tile(np.arange(V, dtype=np.int32), N)
+    pidx = np.repeat(np.arange(N, dtype=np.int32), V)
+    pc = np.einsum("oij,oj->oi", Rtn[cidx, :, :3], pts[pidx]) + Rtn[cidx, :, 3]
+    uv = (pc[:, :2] / np.maximum(pc[:, 2:], 1e-6)) * float(intr.focal) \
+        + np.asarray(intr.pp)
+    w = np.ones(len(cidx), np.float32)
+    noisy_Rt = Rt + 0.003 * jnp.asarray(rng.standard_normal(Rt.shape), jnp.float32)
+    noisy_pts = jnp.asarray(pts + 0.02 * rng.standard_normal(pts.shape).astype(np.float32))
+    cam_valid = jnp.ones((V,), bool)
+
+    single = adjust_bundle_sparse(
+        noisy_Rt, cam_valid, noisy_pts, jnp.asarray(cidx), jnp.asarray(pidx),
+        jnp.asarray(uv, jnp.float32), jnp.asarray(w), intr.K, max_iterations=40)
+    mesh = make_mesh(8)
+    sharded = adjust_bundle_sparse_sharded(
+        mesh, noisy_Rt, cam_valid, noisy_pts, cidx, pidx, uv, w, intr.K,
+        max_iterations=40)
+    assert float(single[3].final_cost) < float(single[3].initial_cost) * 1e-2
+    assert float(sharded[3].final_cost) < float(sharded[3].initial_cost) * 1e-2
+    # same optimum up to solver noise (both started identically)
+    np.testing.assert_allclose(np.asarray(sharded[0]), np.asarray(single[0]),
+                               atol=2e-2)

@@ -194,14 +194,26 @@ def _lm_step_sparse(prob: SparseBAProblem, lam, share_focal: bool,
     d_c = d_c * free[:, None]
     d_f = d_f * f_free
 
-    # point back-substitution
+    # point back-substitution — local: in the distributed layout the point
+    # axis is SHARDED and every point's observations live on its own shard
+    # (dist/sparse_ba.py groups them), so no collective is needed here.
     t = jnp.einsum("oij,oj->oi", Jc, d_c[ci]) + Jf * d_f
     y = seg_pt(jnp.einsum("oia,oi->oa", wJp, t))
     d_p = jnp.einsum("nab,nb->na", Cinv, b_p - y)
     d_c = jnp.where(jnp.isfinite(d_c), d_c, 0.0)
     d_p = jnp.where(jnp.isfinite(d_p), d_p, 0.0)
     d_f = jnp.where(jnp.isfinite(d_f), d_f, 0.0)
-    return d_c, d_p, d_f
+
+    # predicted decrease for the LM gain ratio (x <- x - delta):
+    # 0.5 * delta^T (lam D delta + g); camera/focal terms are replicated,
+    # the point term is shard-local
+    Cdiag = jnp.einsum("naa->na", C)
+    pred_cam = 0.5 * (jnp.sum(d_c * (lam * Udiag * d_c + b_c))
+                      + d_f * (lam * Uff * d_f + b_f))
+    pred_pt = 0.5 * jnp.sum(d_p * (lam * Cdiag * d_p + b_p))
+    if axis_name:
+        pred_pt = jax.lax.psum(pred_pt, axis_name)
+    return d_c, d_p, d_f, pred_cam + pred_pt
 
 
 def lm_solve_sparse(
@@ -221,13 +233,13 @@ def lm_solve_sparse(
         cost0 = jax.lax.psum(cost0, axis_name)
 
     def cond(state):
-        it, _, _, _, done, _ = state
+        it, _, _, _, _, done, _ = state
         return (it < max_iterations) & ~done
 
     def body(state):
-        it, p, lam, cost, done, rejects = state
-        d_c, d_p, d_f = _lm_step_sparse(p, lam, share_focal, cg_iterations,
-                                        axis_name)
+        it, p, lam, nu, cost, done, rejects = state
+        d_c, d_p, d_f, pred = _lm_step_sparse(p, lam, share_focal,
+                                              cg_iterations, axis_name)
         new_cams = p.cams - d_c
         new_points = p.points - d_p
         new_focal = p.focal - d_f
@@ -241,18 +253,23 @@ def lm_solve_sparse(
             points=jnp.where(accept, new_points, p.points),
             focal=jnp.where(accept, new_focal, p.focal),
         )
-        lam2 = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
-                         jnp.minimum(lam * 4.0, 1e8))
+        # Nielsen/Ceres gain-ratio damping schedule (see ba/lm.py)
+        rho = (cost - new_cost) / jnp.maximum(pred, _EPS)
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam2 = jnp.where(accept, jnp.maximum(lam * shrink, 1e-10),
+                         jnp.minimum(lam * nu, 1e8))
+        nu2 = jnp.where(accept, 2.0, jnp.minimum(nu * 2.0, 64.0))
         rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, _EPS)
         rejects2 = jnp.where(accept, 0, rejects + 1)
-        done2 = (accept & (rel < function_tolerance)) | (rejects2 >= 5)
+        done2 = (accept & (rel < function_tolerance)) | (rejects2 >= 3)
         cost2 = jnp.where(accept, new_cost, cost)
-        return (it + 1, p2, lam2, cost2, done2, rejects2)
+        return (it + 1, p2, lam2, nu2, cost2, done2, rejects2)
 
-    it, pf, lam, costf, done, _ = jax.lax.while_loop(
+    it, pf, lam, nu, costf, done, _ = jax.lax.while_loop(
         cond, body,
         (jnp.array(0), prob, jnp.array(initial_lambda, prob.cams.dtype),
-         cost0, jnp.array(False), jnp.array(0)),
+         jnp.asarray(2.0, prob.cams.dtype), cost0, jnp.array(False),
+         jnp.array(0)),
     )
     return pf, BASummary(initial_cost=cost0, final_cost=costf,
                          iterations=it, converged=done)

@@ -48,6 +48,10 @@ class SfMConfig:
     # (Shi-Tomasi, the legacy goodFeaturesToTrack sparse-LK seed,
     # FeatureMatching.cpp:314-331)
     detector_score: str = "harris"
+    # BRIEF sample interpolation: "nearest" (1 gather/sample on the blurred
+    # image — the detector's hot path on TPU; cv::ORB also reads integer
+    # pixels) or "bilinear" (4 gathers, exact interpolation)
+    descriptor_sampling: str = "nearest"
     max_disparity: int = 64           # STEREO strategy plane-sweep depth
 
     # ---- two-view geometry (reference: SfMStereoUtilities.cpp:41-42) ----
@@ -63,6 +67,8 @@ class SfMConfig:
     # PruneMatchesBasedOnF (MultiCameraPnP.cpp:463-485)
     epipolar_prune: bool = True
     epipolar_prune_threshold_px: float = 3.0
+    epipolar_prune_hypotheses: int = 128      # lax 3px gate needs fewer draws
+                                              # than pose estimation
     triangulation_iters: int = 10             # Hartley-Sturm cap (Triangulation.h:52)
     triangulation_eps: float = 1e-4
     cheirality_min_frac: float = 0.75         # TestTriangulation gate (FindCameraMatrices.cpp:277-326)
@@ -87,6 +93,11 @@ class SfMConfig:
     # into other views via the match matrix before insertion
     # (MultiCameraPnP.cpp:393-441)
     cross_view_strengthen: bool = True
+    # max descriptor distance for a strengthening hop match; the legacy scan
+    # takes any ratio-passed submatch, but on feature-dense scenes unbounded
+    # hops chain wrong tracks — bound them at a "strong match" distance
+    # (~1/4 of the 256-bit budget)
+    strengthen_max_match_distance: float = 64.0
 
     # ---- cloud merge (reference: SfM.cpp:50-51) ----
     merge_point_min_match_distance: float = 0.01

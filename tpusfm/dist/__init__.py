@@ -14,13 +14,16 @@ All collectives are XLA collectives over a named jax.sharding.Mesh; the
 same code runs on a virtual CPU mesh (tests) and on TPU slices.
 """
 
-from tpusfm.dist.mesh import make_mesh, initialize_distributed
+from tpusfm.dist.mesh import make_mesh, mesh_from_config, initialize_distributed
 from tpusfm.dist.matching import match_all_pairs_sharded
 from tpusfm.dist.ba import adjust_bundle_sharded
+from tpusfm.dist.sparse_ba import adjust_bundle_sparse_sharded
 
 __all__ = [
     "make_mesh",
+    "mesh_from_config",
     "initialize_distributed",
     "match_all_pairs_sharded",
     "adjust_bundle_sharded",
+    "adjust_bundle_sparse_sharded",
 ]

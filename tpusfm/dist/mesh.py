@@ -19,6 +19,11 @@ def make_mesh(n_devices: int | None = None, axis: str = "devices") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def mesh_from_config(config, n_devices: int | None = None) -> Mesh:
+    """Mesh named by the config's ``mesh_axis`` knob (SfMConfig.mesh_axis)."""
+    return make_mesh(n_devices, axis=config.mesh_axis)
+
+
 def initialize_distributed(coordinator: str | None = None,
                            num_processes: int | None = None,
                            process_id: int | None = None):

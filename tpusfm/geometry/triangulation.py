@@ -77,31 +77,40 @@ def triangulate_hartley_sturm(
     x1: jnp.ndarray,
     x2: jnp.ndarray,
     iterations: int = 10,
+    eps: float = 1e-4,
 ) -> jnp.ndarray:
     """Iterative linear-LS triangulation (Hartley & Sturm reweighting).
 
     Re-designs legacy IterativeLinearLSTriangulation
     (Triangulation.cpp:87-123): rows are reweighted by the inverse
-    projective depth w = p3^T X of each view and re-solved; the legacy
-    early-break at |w - w_prev| < 1e-4 becomes a fixed iteration count
-    (the extra solves are free inside one fused XLA loop; reweighting is
-    a contraction so surplus iterations are harmless).
+    projective depth w = p3^T X of each view and re-solved, up to
+    ``iterations`` times. The legacy early-break at |w - w_prev| < eps
+    (Triangulation.h:52's EPSILON) becomes a per-point converged mask —
+    the loop stays a fixed-trip fused XLA loop, converged points simply
+    stop updating (bit-stable results, no data-dependent trip counts).
     """
 
     def one(a, b):
-        def body(_, X):
+        def body(_, carry):
+            X, w1p, w2p, done = carry
             Xh = jnp.concatenate([X, jnp.ones((1,), X.dtype)])
             w1 = jnp.maximum(jnp.abs(P1[2] @ Xh), _EPS)
             w2 = jnp.maximum(jnp.abs(P2[2] @ Xh), _EPS)
+            conv = (jnp.abs(w1 - w1p) <= eps) & (jnp.abs(w2 - w2p) <= eps)
             A = jnp.concatenate(
                 [_dlt_rows(P1, a) / w1, _dlt_rows(P2, b) / w2], axis=0
             )
-            return _solve_homogeneous_4(A)
+            Xn = _solve_homogeneous_4(A)
+            X = jnp.where(done, X, Xn)
+            return (X, w1, w2, done | conv)
 
         X0 = _solve_homogeneous_4(
             jnp.concatenate([_dlt_rows(P1, a), _dlt_rows(P2, b)], axis=0)
         )
-        return jax.lax.fori_loop(0, iterations, body, X0)
+        init = (X0, jnp.ones((), X0.dtype), jnp.ones((), X0.dtype),
+                jnp.zeros((), bool))
+        X, _, _, _ = jax.lax.fori_loop(0, iterations, body, init)
+        return X
 
     return jax.vmap(one)(x1, x2)
 
@@ -127,6 +136,7 @@ def triangulate_views(
     mask: jnp.ndarray,
     max_reprojection_error: float = 10.0,
     iterations: int = 10,
+    eps: float = 1e-4,
 ):
     """Full triangulation stage with the reference's acceptance gates.
 
@@ -138,7 +148,7 @@ def triangulate_views(
     """
     x1 = camera.normalize_points(Kinv, uv1)
     x2 = camera.normalize_points(Kinv, uv2)
-    xyz = triangulate_hartley_sturm(Rt1, Rt2, x1, x2, iterations)
+    xyz = triangulate_hartley_sturm(Rt1, Rt2, x1, x2, iterations, eps)
     e1 = reprojection_errors(Rt1, K, xyz, uv1)
     e2 = reprojection_errors(Rt2, K, xyz, uv2)
     in_front = (depths(Rt1, xyz) > 0) & (depths(Rt2, xyz) > 0)

@@ -204,17 +204,23 @@ class FusedEngine:
         if cfg.cross_view_strengthen:
             for w in range(V):
                 def partner(v_new, f_new):
+                    # (matched feature in w, match distance); the hop match
+                    # must be strong — same bound the reference merge uses
+                    # for feature confirmation (< 20, SfM.cpp:51)
                     a = jnp.minimum(v_new, w)
                     b = jnp.maximum(v_new, w)
                     p = self._pair_row[a, b]
                     fsafe = jnp.clip(f_new, 0, F)
                     fw = jnp.where(v_new < w, right_of[p, fsafe], left_of[p, fsafe])
-                    return jnp.where(v_new == w, -1, fw)
+                    d = jnp.where(v_new < w, rdist[p, fsafe],
+                                  rdist[p, jnp.clip(fw, 0, F)])
+                    return jnp.where(v_new == w, -1, fw), d
 
                 for v_new, f_new in ((vi, fi), (vj, fj)):
-                    cand = partner(v_new, f_new)
+                    cand, d = partner(v_new, f_new)
                     p3d = st.feat2point[w, jnp.clip(cand, 0, F)]
-                    hit = (cand >= 0) & (p3d >= 0) & (w != vi) & (w != vj)
+                    hit = ((cand >= 0) & (p3d >= 0) & (w != vi) & (w != vj)
+                           & (d < cfg.strengthen_max_match_distance))
                     trans = jnp.where((trans < 0) & hit, p3d, trans)
 
         has_known = (pi >= 0) | (pj >= 0) | (trans >= 0)
@@ -357,7 +363,7 @@ class FusedEngine:
                 inl = epipolar_inliers(
                     k, uv1, uv2, m, K, Kinv,
                     threshold_px=cfg.epipolar_prune_threshold_px,
-                    hypotheses=cfg.ransac_hypotheses // 2)
+                    hypotheses=cfg.epipolar_prune_hypotheses)
                 # only prune pairs with enough matches for the 8-pt solver
                 return jnp.where(jnp.sum(m) >= 16, inl & m, m)
 
@@ -420,7 +426,8 @@ class FusedEngine:
             xyz, keep, e1, e2 = triangulate_views(
                 Rt1, res.Rt, K, Kinv, uv1, uv2, res.inliers & valid,
                 max_reprojection_error=cfg.min_reprojection_error,
-                iterations=cfg.triangulation_iters)
+                iterations=cfg.triangulation_iters,
+                eps=cfg.triangulation_eps)
             keep = self._adaptive_gate(e1, e2, keep)
             accept = pose_ok & (jnp.sum(keep) >= 16)
 
@@ -542,7 +549,8 @@ class FusedEngine:
                 xyz, keep, e1, e2 = triangulate_views(
                     res.Rt, st.poses[g], K, Kinv, uv_n, uv_g, m & epi,
                     max_reprojection_error=cfg.min_reprojection_error,
-                    iterations=cfg.triangulation_iters)
+                    iterations=cfg.triangulation_iters,
+                    eps=cfg.triangulation_eps)
                 keep = self._adaptive_gate(e1, e2, keep)
                 return xyz, keep, f_n, f_g, g
 

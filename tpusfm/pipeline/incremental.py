@@ -197,6 +197,7 @@ class SfMPipeline:
                 pyramid_scale=cfg.pyramid_scale,
                 fast_threshold=cfg.fast_threshold / 255.0,
                 score_kind=cfg.detector_score,
+                sampling=cfg.descriptor_sampling,
             )
         self._jit_match = jax.jit(
             functools.partial(
@@ -264,6 +265,7 @@ class SfMPipeline:
                 Rt1, Rt2, K, Kinv, uv1, uv2, mask,
                 max_reprojection_error=cfg.min_reprojection_error,
                 iterations=cfg.triangulation_iters,
+                eps=cfg.triangulation_eps,
             )
 
         self._jit_triangulate = jax.jit(triangulate)
@@ -277,7 +279,7 @@ class SfMPipeline:
                 return epipolar_inliers(
                     k, a, b, m, K, Kinv,
                     threshold_px=cfg.epipolar_prune_threshold_px,
-                    hypotheses=cfg.ransac_hypotheses // 2,
+                    hypotheses=cfg.epipolar_prune_hypotheses,
                 )
 
             return jax.vmap(one)(keys, uv1, uv2, mask)
@@ -310,6 +312,7 @@ class SfMPipeline:
                     Rt_new, Rtg, K, Kinv, a, b, pruned,
                     max_reprojection_error=cfg.min_reprojection_error,
                     iterations=cfg.triangulation_iters,
+                    eps=cfg.triangulation_eps,
                 )
 
             return jax.vmap(one)(keys, Rt_g, uv1, uv2, mask)
@@ -321,8 +324,10 @@ class SfMPipeline:
                 adjust_bundle,
                 max_iterations=cfg.ba_max_iterations,
                 function_tolerance=cfg.ba_function_tolerance,
+                initial_lambda=cfg.ba_initial_lambda,
                 share_focal=cfg.ba_share_focal,
                 refine_pp=cfg.ba_refine_pp,
+                dtype=cfg.ba_dtype,
             )
         )
 
@@ -663,8 +668,13 @@ class SfMPipeline:
                     p = pair_row[a, b]
                     table = right_of if v_new < w else left_of
                     cand = table[p, np.clip(f_new, 0, F)]
+                    # hop match must be strong (same < 20 bound as the
+                    # reference merge confirmation, SfM.cpp:51)
+                    d = (rdist[p, np.clip(f_new, 0, F)] if v_new < w
+                         else rdist[p, np.clip(cand, 0, F)])
                     p3d = self.feat2point[w, np.clip(cand, 0, F - 1)]
-                    hit = (cand >= 0) & (p3d >= 0)
+                    hit = ((cand >= 0) & (p3d >= 0)
+                           & (d < cfg.strengthen_max_match_distance))
                     target = np.where((target < 0) & hit, p3d, target)
 
         # 3D-distance merge with 2D feature confirmation
