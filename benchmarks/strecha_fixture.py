@@ -8,11 +8,19 @@ renders a fixture in the exact on-disk format the evaluation harness
 camera->world rows 5-7, camera center row 8, image size row 9 — the
 Strecha convention).
 
-The renderer draws Gaussian-splatted 3D dots (same principle as the test
-scene fixtures, tests/synthetic_scene.py) and applies the Brown radial
-model to the projections, so a nonzero-distortion fixture exercises the
-calibrated-undistortion path end-to-end (MultiCameraDistance.cpp:78-89 /
-SfMStereoUtilities.cpp:146-147 parity).
+Scene: a ray-cast corner of three textured planes (two converging walls
+plus a ground plane — the Herz-Jesu facade geometry), shaded with
+band-limited procedural 3D noise so every surface carries dense,
+sub-pixel-localizable texture the way real masonry does. Gaussian-dot
+scenes (tests/synthetic_scene.py) are fine for smoke tests but their
+blob centers localize to ~1 px, which is too coarse for a meaningful
+ATE benchmark; ray-cast texture is not.
+
+The Brown radial model is applied in the renderer (each pixel's ray is
+cast through the inverse-distorted normalized coordinate), so a
+nonzero-distortion fixture exercises the calibrated-undistortion path
+end-to-end (MultiCameraDistance.cpp:78-89 / SfMStereoUtilities.cpp:146-147
+parity).
 """
 from __future__ import annotations
 
@@ -22,47 +30,106 @@ import os
 import numpy as np
 
 
-def _render(dots, vals, sigmas, Rt, K, dist, h, w):
-    pc = dots @ Rt[:, :3].T + Rt[:, 3]
-    z = pc[:, 2]
-    xn = pc[:, :2] / np.maximum(z[:, None], 1e-9)
-    if dist is not None and np.any(dist != 0):
-        k1, k2, k3 = dist
-        r2 = (xn ** 2).sum(1)
+def _hash3(ix, iy, iz, seed):
+    """Integer-lattice hash -> [0, 1) (vectorized, deterministic)."""
+    h = (ix * 374761393 + iy * 668265263 + iz * 2147483647 + seed * 144665) \
+        & 0x7FFFFFFF
+    h = (h ^ (h >> 13)) * 1274126177 & 0x7FFFFFFF
+    return ((h ^ (h >> 16)) & 0xFFFFFF) / float(0x1000000)
+
+
+def _value_noise3(X, scale, seed):
+    """Trilinear-interpolated lattice value noise at one octave."""
+    P = X * scale
+    i = np.floor(P).astype(np.int64)
+    f = P - i
+    f = f * f * (3.0 - 2.0 * f)           # smoothstep
+    out = np.zeros(X.shape[:-1])
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                h = _hash3(i[..., 0] + dx, i[..., 1] + dy, i[..., 2] + dz, seed)
+                wgt = (
+                    (f[..., 0] if dx else 1 - f[..., 0])
+                    * (f[..., 1] if dy else 1 - f[..., 1])
+                    * (f[..., 2] if dz else 1 - f[..., 2])
+                )
+                out += wgt * h
+    return out
+
+
+def _noise3(seed: int):
+    """Aperiodic multi-octave 3D value noise.
+
+    Hash-lattice noise, NOT sinusoids: a sum of global sinusoids is
+    quasi-periodic, which floods the matcher with repeated patterns and
+    poisons the track graph with self-similar correspondences; lattice
+    noise is locally distinctive everywhere (like real masonry)."""
+
+    def tex(X):                           # X (..., 3) -> value in [0, 1]
+        v = (0.5 * _value_noise3(X, 0.9, seed)
+             + 0.28 * _value_noise3(X, 2.3, seed + 1)
+             + 0.16 * _value_noise3(X, 5.1, seed + 2)
+             + 0.08 * _value_noise3(X, 11.7, seed + 3))
+        v = (v - 0.5) * 2.8
+        return 0.5 + 0.42 * np.tanh(v)
+
+    return tex
+
+
+def _inverse_distort(xn, dist, iters: int = 8):
+    """Per-pixel inverse Brown radial model (vectorized fixed point)."""
+    k1, k2, k3 = dist
+    x = xn.copy()
+    for _ in range(iters):
+        r2 = (x ** 2).sum(-1, keepdims=True)
         radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
-        xn = xn * radial[:, None]
-    uv = xn * np.array([K[0, 0], K[1, 1]]) + np.array([K[0, 2], K[1, 2]])
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    img = np.zeros((h, w), np.float32)
-    for (x, y), zz, val, sigma in zip(uv, z, vals, sigmas):
-        if zz <= 0 or not (-5 <= x < w + 5 and -5 <= y < h + 5):
-            continue
-        r = int(3 * sigma) + 1
-        x0, x1 = max(int(x) - r, 0), min(int(x) + r + 1, w)
-        y0, y1 = max(int(y) - r, 0), min(int(y) + r + 1, h)
-        if x0 >= x1 or y0 >= y1:
-            continue
-        img[y0:y1, x0:x1] += val * np.exp(
-            -(((xx[y0:y1, x0:x1] - x) ** 2 + (yy[y0:y1, x0:x1] - y) ** 2)
-              / (2.0 * sigma * sigma)))
-    return np.clip(img, 0.0, 1.0)
+        x = x - (x * radial - xn)
+    return x
 
 
-def make_fixture(out_dir: str, n_views: int = 9, n_dots: int = 500,
+# corner scene: n . X = c  (two walls meeting at x=0 + a ground plane)
+_PLANES = [
+    (np.array([0.35, 0.0, 1.0]), 16.0),     # left wall, slanted toward +x
+    (np.array([-0.35, 0.0, 1.0]), 16.0),    # right wall
+    (np.array([0.0, 1.0, -0.12]), 4.0),     # ground: y ~ 4 + 0.12 z
+]
+
+
+def _render(Rt, K, dist, h, w, tex):
+    f = np.array([K[0, 0], K[1, 1]])
+    pp = np.array([K[0, 2], K[1, 2]])
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    px = np.stack([xs, ys], -1).reshape(-1, 2)
+    xn = (px - pp) / f
+    if dist is not None and np.any(dist != 0):
+        xn = _inverse_distort(xn, dist)
+    R = Rt[:, :3]
+    o = -R.T @ Rt[:, 3]                                   # camera center
+    d = np.concatenate([xn, np.ones((len(xn), 1))], 1) @ R  # rays, world
+    best_t = np.full(len(xn), np.inf)
+    for n0, c0 in _PLANES:
+        nn = np.linalg.norm(n0)
+        n, c = n0 / nn, c0 / nn
+        denom = d @ n
+        t = (c - o @ n) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        ok = (t > 0.5) & (t < best_t)
+        best_t = np.where(ok, t, best_t)
+    X = o[None, :] + best_t[:, None] * d
+    img = tex(X)
+    img = np.where(np.isfinite(best_t), img, 0.05)
+    return np.clip(img.reshape(h, w), 0.0, 1.0).astype(np.float32)
+
+
+def make_fixture(out_dir: str, n_views: int = 9,
                  h: int = 384, w: int = 512, focal: float = 520.0,
-                 dist=(0.0, 0.0, 0.0), seed: int = 0):
+                 dist=(0.0, 0.0, 0.0), seed: int = 0, **_legacy):
     """Write a Strecha-format dataset; returns (gt_poses (V,3,4), K)."""
     from PIL import Image
 
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
-    dots = np.stack([
-        rng.uniform(-7, 7, n_dots),
-        rng.uniform(-5, 5, n_dots),
-        rng.uniform(12, 22, n_dots),
-    ], axis=1).astype(np.float64)
-    vals = rng.uniform(0.35, 1.0, n_dots)
-    sigmas = rng.uniform(1.0, 2.4, n_dots)
+    tex = _noise3(seed + 7)
     K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float64)
     dist = np.asarray(dist, np.float64)
 
@@ -87,7 +154,7 @@ def make_fixture(out_dir: str, n_views: int = 9, n_dots: int = 500,
     poses = np.stack(poses)
 
     for v, Rt in enumerate(poses):
-        img = _render(dots, vals, sigmas, Rt, K, dist, h, w)
+        img = _render(Rt, K, dist, h, w, tex)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(out_dir, f"{v:04d}.png"))
         R_cw = Rt[:, :3].T                       # camera -> world

@@ -186,9 +186,42 @@ extern "C" int tpusfm_load_images(const char** paths, int n, int target_h,
 }
 
 extern "C" int tpusfm_image_size(const char* path, int* h, int* w) {
-  Image img = decode_file(path);
-  if (!img.ok) return 0;
-  *h = img.h;
-  *w = img.w;
-  return 1;
+  // Header-only reads: JPEG stops after jpeg_read_header (no scanline
+  // decode), PNG after the IHDR chunk — O(KB) of IO instead of decoding
+  // the whole frame just to learn its dimensions.
+  FILE* f = fopen(path, "rb");
+  if (!f) return 0;
+  unsigned char sig[8] = {0};
+  size_t got = fread(sig, 1, 8, f);
+  rewind(f);
+  int ok = 0;
+  if (got >= 2 && sig[0] == 0xFF && sig[1] == 0xD8) {  // JPEG
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (!setjmp(jerr.jump)) {
+      jpeg_create_decompress(&cinfo);
+      jpeg_stdio_src(&cinfo, f);
+      jpeg_read_header(&cinfo, TRUE);
+      *w = cinfo.image_width;
+      *h = cinfo.image_height;
+      ok = 1;
+    }
+    jpeg_destroy_decompress(&cinfo);
+  } else if (got >= 8 && png_sig_cmp(sig, 0, 8) == 0) {  // PNG
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                             nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (png && info && !setjmp(png_jmpbuf(png))) {
+      png_init_io(png, f);
+      png_read_info(png, info);
+      *w = int(png_get_image_width(png, info));
+      *h = int(png_get_image_height(png, info));
+      ok = 1;
+    }
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+  }
+  fclose(f);
+  return ok;
 }

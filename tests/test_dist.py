@@ -132,3 +132,34 @@ def test_sparse_ba_sharded_matches_single(eight_devices):
     # same optimum up to solver noise (both started identically)
     np.testing.assert_allclose(np.asarray(sharded[0]), np.asarray(single[0]),
                                atol=2e-2)
+
+
+def test_ring_matching_equals_replicated(eight_devices):
+    """Ring-pass view-sharded matching (dist/matching.py) produces the
+    same match matrix as the replicated-descriptor path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpusfm.dist import (make_mesh, match_all_pairs_ring,
+                             ring_matches_to_matrix)
+    from tpusfm.features.match import match_all_pairs
+    from tpusfm.types import Features
+
+    rng = np.random.default_rng(0)
+    V, F, D = 8, 64, 128
+    base = np.sign(rng.standard_normal((V, F, D))).astype(np.float32)
+    valid = rng.uniform(size=(V, F)) > 0.1
+    feats = Features(
+        xy=jnp.zeros((V, F, 2)), desc=jnp.asarray(base),
+        score=jnp.zeros((V, F)), angle=jnp.zeros((V, F)),
+        valid=jnp.asarray(valid))
+    pairs = [(i, j) for i in range(V) for j in range(i + 1, V)]
+    ref = match_all_pairs(feats, jnp.asarray(np.array(pairs, np.int32)),
+                          ratio=0.95, max_matches=32)
+    mesh = make_mesh(8)
+    ring, gid = match_all_pairs_ring(mesh, feats, ratio=0.95, max_matches=32)
+    idx, dist, ok = ring_matches_to_matrix(ring, gid, V)
+    np.testing.assert_array_equal(ok, np.asarray(ref.valid))
+    np.testing.assert_array_equal(np.where(ok[..., None], idx, -1),
+                                  np.where(np.asarray(ref.valid)[..., None],
+                                           np.asarray(ref.idx), -1))

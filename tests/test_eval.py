@@ -66,8 +66,9 @@ def test_strecha_camera_parser(tmp_path):
     lines.append("1024 768")
     p = str(tmp_path / "img.camera")
     open(p, "w").write("\n".join(lines))
-    K2, Rt = load_strecha_camera(p)
+    K2, dist, Rt = load_strecha_camera(p)
     np.testing.assert_allclose(K2, K)
+    np.testing.assert_allclose(dist, np.zeros(3))
     np.testing.assert_allclose(Rt[:, :3], np.eye(3))
     np.testing.assert_allclose(Rt[:, 3], -c)
     cc = camera_centers(Rt[None])

@@ -68,3 +68,43 @@ def test_voxel_grid_filter():
     assert out.shape == (2, 3)
     near = out[np.argmin(np.abs(out).sum(1))]
     np.testing.assert_allclose(near, pts[:2].mean(0), atol=1e-5)
+
+
+def test_live_viewer_streams_frames(tmp_path):
+    """LiveViewer (L14 completion): every listener update appends a frame
+    to frames.json and rewrites the timeline HTML atomically."""
+    import json
+
+    import numpy as np
+
+    from tpusfm.viz import LiveViewer
+
+    html = str(tmp_path / "live.html")
+    v = LiveViewer(html)
+    rng = np.random.default_rng(0)
+    for k in range(3):
+        n = 50 + 20 * k
+        xyz = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        rgb = rng.integers(0, 255, (n, 3)).astype(np.uint8)
+        poses = np.tile(np.eye(3, 4, dtype=np.float32), (2 + k, 1, 1))
+        v.update(xyz, rgb, poses, np.ones(2 + k, bool))
+    frames = json.load(open(tmp_path / "frames.json"))
+    assert len(frames) == 3
+    assert len(frames[2]["cams"]) == 4
+    page = open(html).read()
+    assert "seek" in page and str(len(frames[0]["pts"])) and "LIVE" in page
+
+
+def test_listeners_route_to_classic_path():
+    """Observers need per-view host snapshots, so a pipeline with a
+    registered listener must not take the fused device path."""
+    import numpy as np
+
+    from tpusfm import SfMConfig
+    from tpusfm.pipeline import SfMPipeline
+
+    pipe = SfMPipeline(np.zeros((3, 32, 32), np.float32),
+                       SfMConfig(max_features=16, max_matches=8))
+    assert pipe._fused_applicable()
+    pipe.add_listener(lambda *a: None)
+    assert not pipe._fused_applicable()

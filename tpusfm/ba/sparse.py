@@ -261,7 +261,11 @@ def lm_solve_sparse(
         nu2 = jnp.where(accept, 2.0, jnp.minimum(nu * 2.0, 64.0))
         rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, _EPS)
         rejects2 = jnp.where(accept, 0, rejects + 1)
-        done2 = (accept & (rel < function_tolerance)) | (rejects2 >= 3)
+        # the tolerance exit counts only for genuine trust-region steps
+        # (rho > 0.5, i.e. lambda shrank): an accepted-but-heavily-damped
+        # micro-step has a tiny relative decrease without being converged
+        done2 = (accept & (rel < function_tolerance) & (rho > 0.5)) \
+            | (rejects2 >= 5)
         cost2 = jnp.where(accept, new_cost, cost)
         return (it + 1, p2, lam2, nu2, cost2, done2, rejects2)
 

@@ -60,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="statistical outlier removal before export "
                         "(meanK=50, stddev=1.0; the legacy viewer's 's'-key "
                         "toggle, legacy/Visualization.cpp:121-153)")
+    p.add_argument("--live-html", default=None, metavar="PATH",
+                   help="stream per-view reconstruction snapshots into a "
+                        "browser viewer with a timeline slider (the legacy "
+                        "Qt/QGLViewer SFMViewer role, sfmviewer.cpp:32-115)")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="with --live-html: serve the viewer over HTTP and "
+                        "live-poll frames while the reconstruction runs")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -97,6 +104,13 @@ def main(argv=None) -> int:
         intr = load_calibration(args.calibration, w, h, cfg.downscale)
     pipe = SfMPipeline(imgs.gray, cfg, images_rgb=imgs.rgb,
                        intrinsics=intr, seed=args.seed)
+    if args.live_html:
+        from tpusfm.viz.live_viewer import LiveViewer
+
+        viewer = LiveViewer(args.live_html)
+        if args.serve:
+            print(f"live viewer at {viewer.serve(args.serve)}")
+        pipe.add_listener(viewer.update)
     rec = pipe.run()
     if args.sor_filter:
         from tpusfm.viz import sor_filter_mask

@@ -15,7 +15,8 @@ same code runs on a virtual CPU mesh (tests) and on TPU slices.
 """
 
 from tpusfm.dist.mesh import make_mesh, mesh_from_config, initialize_distributed
-from tpusfm.dist.matching import match_all_pairs_sharded
+from tpusfm.dist.matching import (match_all_pairs_sharded, match_all_pairs_ring,
+                                  ring_matches_to_matrix)
 from tpusfm.dist.ba import adjust_bundle_sharded
 from tpusfm.dist.sparse_ba import adjust_bundle_sparse_sharded
 
@@ -24,6 +25,8 @@ __all__ = [
     "mesh_from_config",
     "initialize_distributed",
     "match_all_pairs_sharded",
+    "match_all_pairs_ring",
+    "ring_matches_to_matrix",
     "adjust_bundle_sharded",
     "adjust_bundle_sparse_sharded",
 ]

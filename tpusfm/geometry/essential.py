@@ -273,8 +273,8 @@ def epipolar_inliers(
         key, (x1, x2), mask,
         solver=solver, scorer=scorer, refit=refit,
         sample_size=8, hypotheses=hypotheses, threshold=thr,
-        lo_multipliers=(8.0, 4.0, 2.0, 1.0),
-        lo_candidates=2,
+        lo_multipliers=(8.0, 2.0, 1.0),
+        lo_candidates=1,
     )
     return inl & mask
 
@@ -374,7 +374,7 @@ def find_camera_from_match(
         solver=solver, scorer=scorer, refit=refit,
         sample_size=8, hypotheses=hypotheses, threshold=thr,
         lo_multipliers=(16.0, 8.0, 4.0, 2.0, 1.0, 1.0),
-        lo_candidates=4,
+        lo_candidates=8,
     )
     decompose = decompose_essential_horn90 if use_horn else decompose_essential_hz
     candidates = decompose(E)

@@ -343,7 +343,7 @@ class FusedEngine:
                 cnt, _, _ = find_homography_inliers(
                     k, uv1, uv2, match_valid[p],
                     threshold_px=cfg.ransac_threshold_px,
-                    hypotheses=cfg.ransac_hypotheses // 2)
+                    hypotheses=cfg.ransac_hypotheses // 4)
                 return cnt
 
             return jax.vmap(one)(keys, jnp.arange(P))

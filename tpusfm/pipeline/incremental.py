@@ -44,6 +44,21 @@ from tpusfm.types import Features, Intrinsics, np_of
 _PNP_CAP = 4096
 _PAIR_CHUNK = 64
 
+# In-process kernel/engine caches. jax.jit caches traces by FUNCTION
+# IDENTITY, so two pipelines with identical configs would otherwise
+# re-trace and re-compile every kernel (functools.partial creates fresh
+# callables). Keyed by the full config fingerprint (+ shapes for the
+# engine), these make pipeline construction free after the first instance
+# of a configuration — the dominant cost of the CPU test suite.
+_KERNEL_CACHE: Dict = {}
+_ENGINE_CACHE: Dict = {}
+
+
+def _cfg_key(cfg) -> tuple:
+    return tuple(
+        (f.name, getattr(cfg, f.name)) for f in dataclasses.fields(cfg)
+    )
+
 
 def _next_pow2(n: int, floor: int = 1024) -> int:
     c = floor
@@ -171,6 +186,11 @@ class SfMPipeline:
     # ------------------------------------------------------------------ #
     def _build_kernels(self):
         cfg = self.cfg
+        cache_key = _cfg_key(cfg)
+        cached = _KERNEL_CACHE.get(cache_key)
+        if cached is not None:
+            self.__dict__.update(cached)
+            return
 
         from tpusfm.config import MatcherKind
 
@@ -330,6 +350,11 @@ class SfMPipeline:
                 dtype=cfg.ba_dtype,
             )
         )
+
+        _KERNEL_CACHE[cache_key] = {
+            k: v for k, v in self.__dict__.items()
+            if k.startswith("_jit") or k == "_use_pallas_matcher"
+        }
 
     def _split_key(self):
         self._key, k = jax.random.split(self._key)
@@ -1028,9 +1053,13 @@ class SfMPipeline:
 
         if not hasattr(self, "_engine"):
             K = np_of(self.intr.K)
-            self._engine = FusedEngine(self.cfg, self.V, self.H, self.W,
-                                       f=float(K[0, 0]), cx=float(K[0, 2]),
-                                       cy=float(K[1, 2]))
+            ek = (_cfg_key(self.cfg), self.V, self.H, self.W,
+                  float(K[0, 0]), float(K[0, 2]), float(K[1, 2]))
+            if ek not in _ENGINE_CACHE:
+                _ENGINE_CACHE[ek] = FusedEngine(
+                    self.cfg, self.V, self.H, self.W, f=float(K[0, 0]),
+                    cx=float(K[0, 2]), cy=float(K[1, 2]))
+            self._engine = _ENGINE_CACHE[ek]
         if self._use_pallas_matcher:
             match_fn = lambda feats, pairs: self._jit_match_pallas(
                 feats.desc, feats.valid, pairs)
@@ -1038,7 +1067,9 @@ class SfMPipeline:
             match_fn = self._jit_match
         base_extract = self._jit_extract
         extract_fn = lambda imgs: self._undistort_features(base_extract(imgs))
-        gray_u8 = (np.clip(self.gray, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        if not hasattr(self, "_gray_u8"):
+            self._gray_u8 = (np.clip(self.gray, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        gray_u8 = self._gray_u8
         self._fused_runs = getattr(self, "_fused_runs", -1) + 1
         out = self._engine.run(gray_u8, extract_fn, match_fn,
                                seed=self._seed + self._fused_runs)

@@ -55,12 +55,23 @@ def ransac(
     minimal = tuple(d[idx] for d in data)  # each (B, k, ...)
     models, ok = jax.vmap(solver)(*minimal)  # pytree (B, ...), (B,)
 
+    # MSAC (truncated-quadratic) model scoring, not binary inlier counts:
+    # when the threshold is lax relative to the data noise (the reference's
+    # 1 px gate vs ~0.2 px matches), several wrong models can capture
+    # nearly the same inlier COUNT; scoring residual quality inside the
+    # gate discriminates them the way OpenCV's USAC/MAGSAC scoring does.
+    thr2 = threshold * threshold
+
+    def msac(resid):
+        r = jnp.where(jnp.isfinite(resid), resid, jnp.inf)
+        return jnp.sum(jnp.where(mask, jnp.maximum(thr2 - jnp.square(r), 0.0), 0.0))
+
     resid = jax.vmap(lambda m: scorer(m, *data))(models)  # (B, N)
     resid = jnp.where(jnp.isfinite(resid), resid, jnp.inf)
     inl = (resid < threshold) & mask[None, :]  # (B, N)
-    counts = jnp.sum(inl, axis=1)
-    counts = jnp.where(ok, counts, -1)
-    best = jnp.argmax(counts)
+    scores = jax.vmap(msac)(resid)
+    scores = jnp.where(ok, scores, -1.0)
+    best = jnp.argmax(scores)
 
     if refit is None:
         model = jax.tree.map(lambda m: m[best], models)
@@ -70,32 +81,35 @@ def ransac(
     # Locally-optimized refinement (LO-RANSAC, Chum et al.): minimal
     # models amplify noise, so their consensus sets are biased. Refit
     # on inliers gathered at an annealed (shrinking) threshold, then
-    # keep whichever model maximizes inliers at the true threshold.
+    # keep whichever model maximizes the MSAC score at the true threshold.
     # Refining the top lo_candidates hypotheses (not just the winner)
-    # explores several basins — the winner by raw count is often NOT the
+    # explores several basins — the winner by raw score is often NOT the
     # one whose locally-optimized model scores best.
-    def lo_chain(model, inlier_mask):
+    def lo_chain(model, inlier_mask, score):
         for mult in lo_multipliers:
             w = ((scorer(model, *data) < threshold * mult) & mask).astype(jnp.float32)
             cand = refit(model, w, *data)
             r2 = scorer(cand, *data)
             r2 = jnp.where(jnp.isfinite(r2), r2, jnp.inf)
+            s2 = msac(r2)
             inl2 = (r2 < threshold) & mask
-            better = jnp.sum(inl2) >= jnp.sum(inlier_mask)
+            better = s2 >= score
             model = jax.tree.map(lambda a, b: jnp.where(better, a, b), cand, model)
             inlier_mask = jnp.where(better, inl2, inlier_mask)
-        return model, inlier_mask, jnp.sum(inlier_mask)
+            score = jnp.where(better, s2, score)
+        return model, inlier_mask, score
 
     if lo_candidates <= 1:
-        model, inlier_mask, n = lo_chain(jax.tree.map(lambda m: m[best], models),
-                                         inl[best])
-        return model, inlier_mask, n
+        model, inlier_mask, _ = lo_chain(jax.tree.map(lambda m: m[best], models),
+                                         inl[best], scores[best])
+        return model, inlier_mask, jnp.sum(inlier_mask)
 
     t = min(lo_candidates, hypotheses)
-    _, top = jax.lax.top_k(counts, t)
-    ms, is_, ns = jax.vmap(lo_chain)(jax.tree.map(lambda m: m[top], models), inl[top])
-    b = jnp.argmax(ns)
-    return jax.tree.map(lambda m: m[b], ms), is_[b], ns[b]
+    top_scores, top = jax.lax.top_k(scores, t)
+    ms, is_, ss = jax.vmap(lo_chain)(jax.tree.map(lambda m: m[top], models),
+                                     inl[top], top_scores)
+    b = jnp.argmax(ss)
+    return jax.tree.map(lambda m: m[b], ms), is_[b], jnp.sum(is_[b])
 
 
 def adaptive_num_hypotheses(inlier_ratio: float, sample_size: int, confidence: float = 0.999) -> int:

@@ -14,12 +14,14 @@ TPU-era equivalents of the reference's viz surface:
 from tpusfm.viz.cloud_filter import sor_filter, sor_filter_mask, voxel_grid_filter
 from tpusfm.viz.debug import draw_keypoints, draw_matches, draw_reprojections
 from tpusfm.viz.html_viewer import export_html_viewer
+from tpusfm.viz.live_viewer import LiveViewer
 
 __all__ = [
     "draw_keypoints",
     "draw_matches",
     "draw_reprojections",
     "export_html_viewer",
+    "LiveViewer",
     "sor_filter",
     "sor_filter_mask",
     "voxel_grid_filter",
