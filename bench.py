@@ -34,9 +34,15 @@ N_FEATURES = 5120     # reference runs 5000 (SfM2DFeatureUtilities.cpp:39)
 
 
 def main():
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
+    # The axon sitecustomize imports jax at interpreter startup, so the
+    # JAX_COMPILATION_CACHE_DIR env var is read (empty) before this file
+    # runs — set the config directly instead. The persistent cache turns
+    # the cold run from ~10 min of XLA compiles into cache loads.
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from benchmarks.reference_cv2 import measure_reference_baseline
     from tpusfm import SfMConfig

@@ -67,12 +67,16 @@ int tpusfm_insert_points(float* xyz, int32_t* obs, int32_t* feat2point,
 // Match lookups: right_of/left_of/rdist are (P+1) x (F+1) tables (row P and
 // column F are trash); pair_row is V x V -> pair row (or P).
 // stats[0]=appended, stats[1]=merged, stats[2]=dropped. Returns n_points.
+// strengthen_dist bounds the transitive-claim hop match (the same knob the
+// numpy fallback and fused engine read as strengthen_max_match_distance);
+// feat_dist is used ONLY for the 3D-merge feature confirmation (SfM.cpp:51).
 int tpusfm_insert_points_v2(
     float* xyz, int32_t* obs, int32_t* feat2point, int cap, int V, int F,
     int n_points, int vi, int vj, const float* nxyz, const int32_t* fi,
     const int32_t* fj, int n_new, const int32_t* pair_row,
     const int32_t* right_of, const float* rdist, const int32_t* left_of,
-    float merge_dist, float feat_dist, int strengthen, int32_t* stats) {
+    float merge_dist, float feat_dist, float strengthen_dist, int strengthen,
+    int32_t* stats) {
   int appended = 0, merged = 0, dropped = 0;
   const float merge_d2 = merge_dist * merge_dist;
   const int64_t L = F + 1;  // lookup row stride
@@ -109,12 +113,12 @@ int tpusfm_insert_points_v2(
       for (int w = 0; w < V && target < 0; w++) {
         if (w == vi || w == vj) continue;
         int32_t cand = partner(vi, a, w);
-        if (cand >= 0 && cand < F && hop_dist(vi, a, cand, w) < feat_dist) {
+        if (cand >= 0 && cand < F && hop_dist(vi, a, cand, w) < strengthen_dist) {
           const int32_t p3d = feat2point[(int64_t)w * F + cand];
           if (p3d >= 0) { target = p3d; break; }
         }
         cand = partner(vj, b, w);
-        if (cand >= 0 && cand < F && hop_dist(vj, b, cand, w) < feat_dist) {
+        if (cand >= 0 && cand < F && hop_dist(vj, b, cand, w) < strengthen_dist) {
           const int32_t p3d = feat2point[(int64_t)w * F + cand];
           if (p3d >= 0) { target = p3d; break; }
         }

@@ -10,13 +10,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-# Persistent jit cache: the suite is compile-dominated on the CPU mesh, and
-# the programs are identical across runs — cache them next to the repo.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
-
 import jax  # noqa: E402
 
+# Persistent jit cache: the suite is compile-dominated on the CPU mesh, and
+# the programs are identical across runs — cache them next to the repo.
+# Set via jax.config (NOT the env var): the axon sitecustomize imports jax
+# at interpreter startup, long before this file, so env vars are ignored.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                               ".jax_cache_cpu")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # The axon sitecustomize force-registers the TPU platform regardless of env;

@@ -61,7 +61,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ctypes.c_void_p,
     ]
     lib.tpusfm_find_2d3d.restype = ctypes.c_int
     lib.tpusfm_find_2d3d.argtypes = [
@@ -138,7 +139,7 @@ def insert_points_v2(xyz: np.ndarray, obs: np.ndarray, feat2point: np.ndarray,
                      fi: np.ndarray, fj: np.ndarray, pair_row: np.ndarray,
                      right_of: np.ndarray, rdist: np.ndarray,
                      left_of: np.ndarray, merge_dist: float, feat_dist: float,
-                     strengthen: bool):
+                     strengthen_dist: float, strengthen: bool):
     """Native full mergeNewPointCloud (SfM.cpp:530-629): exact + transitive
     feature claims, 3D-distance merge with feature confirmation, sequential
     like the reference. Mutates xyz/obs/feat2point in place.
@@ -162,7 +163,7 @@ def insert_points_v2(xyz: np.ndarray, obs: np.ndarray, feat2point: np.ndarray,
         _ptr(xyz), _ptr(obs), _ptr(feat2point), cap, V, F, n_points,
         vi, vj, _ptr(nxyz), _ptr(fi), _ptr(fj), len(fi),
         _ptr(pr), _ptr(ro), _ptr(rd), _ptr(lo),
-        merge_dist, feat_dist, int(strengthen), _ptr(stats))
+        merge_dist, feat_dist, strengthen_dist, int(strengthen), _ptr(stats))
     return n2, int(stats[0]), int(stats[1]), int(stats[2])
 
 

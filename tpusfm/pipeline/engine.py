@@ -407,7 +407,10 @@ class FusedEngine:
             j = self._pairs[p, 1]
             valid = match_valid[p]
             uv1, uv2 = self._pair_uv(feat_xy, match_idx, p)
-            k1 = jax.random.fold_in(key, c)
+            # namespace the baseline stream away from the add-view stream
+            # (plain fold_in(key, c) would collide with fold_in(key, it)
+            # counters for V(V-1)/2 >= add-view iteration indices)
+            k1 = jax.random.fold_in(jax.random.fold_in(key, 0), c)
             K = self._K(st.focal)
             Kinv = self._Kinv(st.focal)
             res = find_camera_from_match(
@@ -506,7 +509,7 @@ class FusedEngine:
             uv = feat_xy[best][sel]
             K = self._K(st.focal)
             Kinv = self._Kinv(st.focal)
-            kk = jax.random.fold_in(key, 1000 + it)
+            kk = jax.random.fold_in(jax.random.fold_in(key, 1), it)
             res = find_camera_pose_2d3d(
                 kk, X, uv, mask, K, Kinv,
                 threshold_px=cfg.pnp_threshold_px,

@@ -632,6 +632,12 @@ class SfMPipeline:
             rdist = np.full((P + 1, F + 1), 1e9, np.float32)
             if self.match_dist is not None:
                 rdist[rows, lf] = np.where(mv, self.match_dist, 1e9)
+            else:
+                # Checkpoints saved before match distances were recorded:
+                # treat every surviving ratio-test match as confirming
+                # (distance 0) rather than never-confirming (1e9), which
+                # would silently drop close-but-unconfirmed merges.
+                rdist[rows, lf] = np.where(mv, 0.0, 1e9)
             left_of = np.full((P + 1, F + 1), -1, np.int32)
             left_of[rows, rf] = np.where(mv, self.match_idx[:, :, 0], -1)
             self._lookup = (pair_row, right_of, rdist, left_of)
@@ -668,6 +674,7 @@ class SfMPipeline:
                 xyz, fi, fj, pair_row, right_of, rdist, left_of,
                 cfg.merge_point_min_match_distance,
                 cfg.merge_feature_min_match_distance,
+                cfg.strengthen_max_match_distance,
                 cfg.cross_view_strengthen)
             if out is not None:
                 self.n_points, appended, merged, dropped = out
@@ -1080,6 +1087,12 @@ class SfMPipeline:
 
         # mirror results into the host-side state for downstream consumers
         n = int(out["n_points"])
+        if n >= self._engine.CAP:
+            import warnings
+            warnings.warn(
+                f"map saturated engine_point_capacity={self._engine.CAP}: "
+                "new points were silently routed to the trash row; raise "
+                "SfMConfig.engine_point_capacity to keep them", RuntimeWarning)
         self.n_points = n
         cap = max(self.xyz.shape[0], n)
         self.xyz = np.zeros((cap, 3), np.float32)
@@ -1092,7 +1105,12 @@ class SfMPipeline:
         self.feat_valid = np.array(out["feat_valid"])
         self.done_views = set(range(self.V))
         self.good_views = set(int(v) for v in np.nonzero(self.pose_valid)[0])
-        self.intr = Intrinsics.create(float(out["focal"]), self.W / 2.0, self.H / 2.0)
+        # preserve the calibrated principal point (the engine projects
+        # through cx/cy, not the image center) and the distortion
+        # coefficients — a repeated run() must keep undistorting features
+        self.intr = Intrinsics.create(float(out["focal"]),
+                                      self._engine.cx, self._engine.cy,
+                                      dist=np_of(self.intr.dist))
         self._timings.update(self._engine.timings)
         stats = np.array(out["stats"])
         self._timings["ba_iters"] = int(stats[:, 9].sum())
