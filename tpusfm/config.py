@@ -106,6 +106,15 @@ class SfMConfig:
     # ---- bundle adjustment (reference: SfMBundleAdjustmentUtils.cpp:171-177) ----
     ba_max_iterations: int = 100              # reference caps Ceres at 500 / 10 s
     ba_function_tolerance: float = 1e-6
+    # Per-view (incremental) BA budget inside the add-view loop: each
+    # registration only needs to keep the map consistent for the next PnP;
+    # the final global BA (ba_max_iterations / ba_function_tolerance)
+    # does the polishing. The reference runs Ceres with the same caps per
+    # view, but its tolerance is a loose 1e-2 (SfMBundleAdjustmentUtils
+    # .cpp:174) — these defaults are stricter than that while keeping the
+    # per-view cost bounded.
+    ba_incremental_iterations: int = 25
+    ba_incremental_tolerance: float = 1e-4
     ba_initial_lambda: float = 1e-3
     ba_share_focal: bool = True               # one shared focal scalar (:138,164)
     ba_refine_pp: bool = False                # also refine principal point (legacy

@@ -60,12 +60,15 @@ def adjust_bundle_sharded(
         )
         return sol.cams, sol.points, sol.focal, summary
 
-    fn = jax.shard_map(
+    # jit around shard_map is required, not a nicety: an eagerly-executed
+    # shard_map dispatches every traced primitive as its own multi-device
+    # program (hundreds of micro-compiles per call)
+    fn = jax.jit(jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(), P(axis), P(), P()),
-    )
+    ))
     out_cams, out_points, out_focal, summary = fn(
         cams, points, pt_valid, uv - pp[None, None, :], obs_mask, cam_valid, K[0, 0]
     )

@@ -46,12 +46,15 @@ def match_all_pairs_sharded(
 
         return jax.vmap(one)(pairs)
 
-    fn = jax.shard_map(
+    # jit around shard_map is required, not a nicety: an eagerly-executed
+    # shard_map dispatches every traced primitive as its own multi-device
+    # program (hundreds of micro-compiles per call)
+    fn = jax.jit(jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=P(axis),
-    )
+    ))
     return fn(features, pair_indices)
 
 
@@ -123,11 +126,11 @@ def match_all_pairs_ring(
         return (jnp.concatenate(out_idx), jnp.concatenate(out_dist),
                 jnp.concatenate(out_ok), jnp.concatenate(out_gid))
 
-    fn = jax.shard_map(
+    fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis), P(axis)),
-    )
+    ))
     gids = jnp.arange(V, dtype=jnp.int32)
     idx, dist, ok, gid = fn(features.desc, features.valid, gids)
     return Matches(idx=idx, dist=dist, valid=ok), gid

@@ -249,7 +249,8 @@ class FusedEngine:
     # ------------------------------------------------------------------ #
     # on-device bundle adjustment (SfM::adjustCurrentBundle, SfM.cpp:324-330)
     # ------------------------------------------------------------------ #
-    def _run_ba(self, st: EngineState, feat_xy):
+    def _run_ba(self, st: EngineState, feat_xy, *,
+                max_iterations=None, function_tolerance=None):
         cfg = self.cfg
         V, CAP = self.V, self.CAP
         obs = st.obs[:CAP]
@@ -268,8 +269,11 @@ class FusedEngine:
         )
         sol, summary = lm_solve(
             prob,
-            max_iterations=cfg.ba_max_iterations,
-            function_tolerance=cfg.ba_function_tolerance,
+            max_iterations=(cfg.ba_max_iterations if max_iterations is None
+                            else max_iterations),
+            function_tolerance=(cfg.ba_function_tolerance
+                                if function_tolerance is None
+                                else function_tolerance),
             initial_lambda=cfg.ba_initial_lambda,
             share_focal=cfg.ba_share_focal,
             refine_pp=False,
@@ -445,7 +449,11 @@ class FusedEngine:
                 match_idx[p, :, 0], match_idx[p, :, 1],
                 right_of, rdist, left_of)
             st2, (ba0, ba1, bait) = jax.lax.cond(
-                accept, lambda s: self._run_ba(s, feat_xy),
+                accept,
+                lambda s: self._run_ba(
+                    s, feat_xy,
+                    max_iterations=cfg.ba_incremental_iterations,
+                    function_tolerance=cfg.ba_incremental_tolerance),
                 lambda s: (s, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))), st2)
             row = jnp.array([0, 0, 0, 0, 0, 0, 0, 0, 0, 0], jnp.float32)
             row = row.at[S_VIEW].set((i * 100 + j).astype(jnp.float32))
@@ -574,7 +582,11 @@ class FusedEngine:
             )
             (st, tots), _ = jax.lax.scan(merge_slot, (st, jnp.zeros((3,), jnp.int32)), tri)
             st, (ba0, ba1, bait) = jax.lax.cond(
-                pose_ok, lambda s: self._run_ba(s, feat_xy),
+                pose_ok,
+                lambda s: self._run_ba(
+                    s, feat_xy,
+                    max_iterations=cfg.ba_incremental_iterations,
+                    function_tolerance=cfg.ba_incremental_tolerance),
                 lambda s: (s, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))), st)
             row = jnp.stack([
                 best.astype(jnp.float32), n2d3d.astype(jnp.float32),
@@ -584,6 +596,20 @@ class FusedEngine:
             return st._replace(stats=st.stats.at[1 + it].set(row))
 
         st = jax.lax.fori_loop(0, V - 2, add_view_body, st)
+
+        # ---- final global polish BA: the per-view BAs above run on a small
+        # incremental budget (they only have to keep the map consistent for
+        # the next registration); the full-budget solve here is what the
+        # exported reconstruction's quality is measured on — same role as
+        # the reference's last adjustCurrentBundle call (SfM.cpp:464-466)
+        # landing after the final view.
+        st, (fb0, fb1, fbit) = jax.lax.cond(
+            seeded, lambda s: self._run_ba(s, feat_xy),
+            lambda s: (s, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))), st)
+        frow = jnp.zeros((_STATS_COLS,), jnp.float32)
+        frow = frow.at[S_OK].set(seeded.astype(jnp.float32))
+        frow = frow.at[S_BA0].set(fb0).at[S_BA1].set(fb1).at[S_BAIT].set(fbit)
+        st = st._replace(stats=st.stats.at[V].set(frow))
 
         # ---- final mean reprojection error over the live observation grid
         K = self._K(st.focal)

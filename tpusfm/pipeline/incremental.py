@@ -180,6 +180,9 @@ class SfMPipeline:
         self.match_dist: Optional[np.ndarray] = None   # (P, M)
         self.pair_of: Dict[Tuple[int, int], int] = {}
         self._lookup = None                            # match lookup cache
+        # a reset pipeline replays the exact same PRNG streams: repeat
+        # runs (tests, benchmarking) are bit-deterministic
+        self._fused_runs = -1
 
     # ------------------------------------------------------------------ #
     # jitted kernels (compiled once per static shape)
@@ -1077,7 +1080,7 @@ class SfMPipeline:
         if not hasattr(self, "_gray_u8"):
             self._gray_u8 = (np.clip(self.gray, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
         gray_u8 = self._gray_u8
-        self._fused_runs = getattr(self, "_fused_runs", -1) + 1
+        self._fused_runs += 1
         out = self._engine.run(gray_u8, extract_fn, match_fn,
                                seed=self._seed + self._fused_runs)
         if not bool(out["seeded"]):
@@ -1120,6 +1123,10 @@ class SfMPipeline:
                 self._log(2, f"baseline {i},{j}: {int(row[4])} seed points "
                              f"(pose inliers {row[2]:.2f}), BA {row[7]:.1f} -> {row[8]:.1f} "
                              f"in {int(row[9])} iters")
+            elif r == len(stats) - 1:
+                if row[3] > 0:
+                    self._log(2, f"final BA: {row[7]:.1f} -> {row[8]:.1f} "
+                                 f"in {int(row[9])} iters")
             elif row[1] > 0 or row[3] > 0:
                 self._log(2, f"view {int(row[0])}: {int(row[1])} 2D-3D matches, "
                              f"PnP ratio {row[2]:.2f}, ok={bool(row[3])}, "
