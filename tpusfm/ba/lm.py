@@ -133,11 +133,17 @@ def _cost_only(cams, points, focal, prob: BAProblem, axis_name: str | None = Non
     return c
 
 
-def _cg_solve(A: jnp.ndarray, b: jnp.ndarray, extra_iters: int = 8) -> jnp.ndarray:
+def _cg_solve(A: jnp.ndarray, b: jnp.ndarray, extra_iters: int = 8,
+              max_iters: int = 32) -> jnp.ndarray:
     """Conjugate gradients for an SPD (Jacobi-prescaled) system.
 
-    Fixed iteration count n + extra (CG is exact in n steps in exact
-    arithmetic); fori_loop keeps it one fused XLA loop with no host sync.
+    Iteration count min(n + extra, max_iters): CG is exact in n steps in
+    exact arithmetic, but the Jacobi-rescaled DAMPED system's spectrum is
+    clustered, so a capped inexact solve converges to well below the LM
+    accept/reject noise floor — and every CG step is a serial dependency
+    (~3 tiny VPU ops each), so the cap directly bounds the per-LM-iteration
+    latency on TPU. A too-inexact step is harmless: LM rejects it and
+    raises lambda. fori_loop keeps it one fused XLA loop with no host sync.
     """
     n = b.shape[0]
 
@@ -155,7 +161,7 @@ def _cg_solve(A: jnp.ndarray, b: jnp.ndarray, extra_iters: int = 8) -> jnp.ndarr
 
     x0 = jnp.zeros_like(b)
     state = (x0, b, b, jnp.dot(b, b))
-    x, _, _, _ = jax.lax.fori_loop(0, n + extra_iters, body, state)
+    x, _, _, _ = jax.lax.fori_loop(0, min(n + extra_iters, max_iters), body, state)
     return x
 
 

@@ -67,12 +67,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve", type=int, default=None, metavar="PORT",
                    help="with --live-html: serve the viewer over HTTP and "
                         "live-poll frames while the reconstruction runs")
+    p.add_argument("--interactive", action="store_true",
+                   help="interactive prompt session: directory chooser, "
+                        "strategy toggles, match/run/visualize commands "
+                        "(the legacy FLTK DistanceUI role, "
+                        "legacy/DistanceUI.cpp:109-162)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.interactive:
+        from tpusfm.ui import interactive_loop
+
+        interactive_loop(args.input_directory)
+        return 0
 
     from tpusfm import SfMConfig
     from tpusfm.config import EssentialDecomposition, MatcherKind

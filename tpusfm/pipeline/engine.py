@@ -89,6 +89,18 @@ class FusedEngine:
         self.PNP_CAP = min(cfg.engine_pnp_capacity, self.F)
         self.f0, self.cx, self.cy = float(f), float(cx), float(cy)
 
+        # Static hypothesis budgets honoring the reference's RANSAC
+        # confidences (prob 0.999 @ SfMStereoUtilities.cpp:97, conf 0.99 @
+        # :226): the classic N = log(1-p)/log(1-w^k) bound at the epipolar
+        # inlier rates ratio-tested matching yields in practice (w~0.75
+        # for E, w~0.6 for PnP) is a floor under the configured batch size.
+        from tpusfm.ransac import adaptive_num_hypotheses
+
+        self.E_HYP = max(cfg.ransac_hypotheses,
+                         adaptive_num_hypotheses(0.75, 8, cfg.essential_prob))
+        self.PNP_HYP = max(cfg.pnp_hypotheses,
+                           adaptive_num_hypotheses(0.6, 6, cfg.pnp_confidence))
+
         pairs = [(i, j) for i in range(V) for j in range(i + 1, V)]
         self.pairs_list = pairs
         self.P = len(pairs)
@@ -202,26 +214,38 @@ class FusedEngine:
         # map point, attach to that point instead of appending.
         trans = jnp.full((keep.shape[0],), -1, jnp.int32)
         if cfg.cross_view_strengthen:
-            for w in range(V):
-                def partner(v_new, f_new):
-                    # (matched feature in w, match distance); the hop match
-                    # must be strong — same bound the reference merge uses
-                    # for feature confirmation (< 20, SfM.cpp:51)
-                    a = jnp.minimum(v_new, w)
-                    b = jnp.maximum(v_new, w)
-                    p = self._pair_row[a, b]
-                    fsafe = jnp.clip(f_new, 0, F)
-                    fw = jnp.where(v_new < w, right_of[p, fsafe], left_of[p, fsafe])
-                    d = jnp.where(v_new < w, rdist[p, fsafe],
-                                  rdist[p, jnp.clip(fw, 0, F)])
-                    return jnp.where(v_new == w, -1, fw), d
+            # one batched scan over all hop views w (the unrolled per-view
+            # Python loop multiplied the traced graph by 2V); the hop match
+            # must be strong (strengthen_max_match_distance bound)
+            wv = jnp.arange(V)
 
-                for v_new, f_new in ((vi, fi), (vj, fj)):
-                    cand, d = partner(v_new, f_new)
-                    p3d = st.feat2point[w, jnp.clip(cand, 0, F)]
-                    hit = ((cand >= 0) & (p3d >= 0) & (w != vi) & (w != vj)
-                           & (d < cfg.strengthen_max_match_distance))
-                    trans = jnp.where((trans < 0) & hit, p3d, trans)
+            def partner_all(v_new, f_new):
+                # v_new scalar view index, f_new (M,) -> (p3d, hit) (M, V)
+                a = jnp.minimum(v_new, wv)                            # (V,)
+                b = jnp.maximum(v_new, wv)
+                p = self._pair_row[a, b][None, :]                     # (1, V)
+                fsafe = jnp.clip(f_new, 0, F)[:, None]                # (M, 1)
+                new_is_left = (v_new < wv)[None, :]                   # (1, V)
+                fw = jnp.where(new_is_left, right_of[p, fsafe], left_of[p, fsafe])
+                d = jnp.where(new_is_left, rdist[p, fsafe],
+                              rdist[p, jnp.clip(fw, 0, F)])
+                fw = jnp.where((v_new == wv)[None, :], -1, fw)
+                p3d = st.feat2point[wv[None, :], jnp.clip(fw, 0, F)]
+                hit = ((fw >= 0) & (p3d >= 0)
+                       & ((wv != vi) & (wv != vj))[None, :]
+                       & (d < cfg.strengthen_max_match_distance))
+                return p3d, hit
+
+            p3d_i, hit_i = partner_all(vi, fi)
+            p3d_j, hit_j = partner_all(vj, fj)
+            # first-hit priority matches the original scan order:
+            # (w=0, vi), (w=0, vj), (w=1, vi), ...
+            hit = jnp.stack([hit_i, hit_j], axis=2).reshape(-1, 2 * V)
+            p3d = jnp.stack([p3d_i, p3d_j], axis=2).reshape(-1, 2 * V)
+            first = jnp.argmax(hit, axis=1)
+            trans = jnp.where(jnp.any(hit, axis=1),
+                              jnp.take_along_axis(p3d, first[:, None], 1)[:, 0],
+                              -1).astype(jnp.int32)
 
         has_known = (pi >= 0) | (pj >= 0) | (trans >= 0)
         known = jnp.where(pi >= 0, pi, jnp.where(pj >= 0, pj, trans))
@@ -420,7 +444,7 @@ class FusedEngine:
             res = find_camera_from_match(
                 k1, uv1, uv2, valid, K, Kinv,
                 threshold_px=cfg.essential_threshold_px,
-                hypotheses=cfg.ransac_hypotheses,
+                hypotheses=self.E_HYP,
                 use_horn=use_horn,
                 min_front_frac=cfg.cheirality_min_frac,
                 max_front_reproj_px=cfg.cheirality_max_reproj_px,
@@ -521,7 +545,7 @@ class FusedEngine:
             res = find_camera_pose_2d3d(
                 kk, X, uv, mask, K, Kinv,
                 threshold_px=cfg.pnp_threshold_px,
-                hypotheses=cfg.pnp_hypotheses,
+                hypotheses=self.PNP_HYP,
                 min_inlier_ratio=cfg.pose_inliers_minimal_ratio)
             n_corr = jnp.sum(mask)
             inl = jnp.sum(res.inliers)

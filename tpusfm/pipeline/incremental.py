@@ -196,6 +196,14 @@ class SfMPipeline:
             return
 
         from tpusfm.config import MatcherKind
+        from tpusfm.ransac import adaptive_num_hypotheses
+
+        # confidence-derived hypothesis floors (reference: prob 0.999 @
+        # SfMStereoUtilities.cpp:97, conf 0.99 @ :226); see engine.py
+        e_hyp = max(cfg.ransac_hypotheses,
+                    adaptive_num_hypotheses(0.75, 8, cfg.essential_prob))
+        pnp_hyp = max(cfg.pnp_hypotheses,
+                      adaptive_num_hypotheses(0.6, 6, cfg.pnp_confidence))
 
         # extract_features jits internally per pyramid level (one small
         # program per level compiles far faster than a monolithic graph).
@@ -273,7 +281,7 @@ class SfMPipeline:
             functools.partial(
                 find_camera_from_match,
                 threshold_px=cfg.essential_threshold_px,
-                hypotheses=cfg.ransac_hypotheses,
+                hypotheses=e_hyp,
                 use_horn=cfg.decomposition == EssentialDecomposition.HORN90,
                 # legacy cheirality acceptance gates: >=75 % of inliers in
                 # front + reprojection < 100 px (FindCameraMatrices.cpp:277-326,
@@ -313,7 +321,7 @@ class SfMPipeline:
             functools.partial(
                 find_camera_pose_2d3d,
                 threshold_px=cfg.pnp_threshold_px,
-                hypotheses=cfg.pnp_hypotheses,
+                hypotheses=pnp_hyp,
                 min_inlier_ratio=cfg.pose_inliers_minimal_ratio,
             )
         )
@@ -328,7 +336,7 @@ class SfMPipeline:
                 two = find_camera_from_match(
                     k, a, b, m, K, Kinv,
                     threshold_px=cfg.essential_threshold_px,
-                    hypotheses=cfg.ransac_hypotheses,
+                    hypotheses=e_hyp,
                 )
                 pruned = two.inliers & m
                 return triangulate_views(

@@ -85,8 +85,13 @@ def ransac(
     # Refining the top lo_candidates hypotheses (not just the winner)
     # explores several basins — the winner by raw score is often NOT the
     # one whose locally-optimized model scores best.
+    # The multiplier chain runs as ONE lax.scan step traced once (an
+    # unrolled Python loop multiplies the traced refit subgraph — solver +
+    # manifold LM + cheirality triangulation — by len(lo_multipliers),
+    # which dominated trace/compile time of every RANSAC caller).
     def lo_chain(model, inlier_mask, score):
-        for mult in lo_multipliers:
+        def step(carry, mult):
+            model, inlier_mask, score = carry
             w = ((scorer(model, *data) < threshold * mult) & mask).astype(jnp.float32)
             cand = refit(model, w, *data)
             r2 = scorer(cand, *data)
@@ -97,6 +102,11 @@ def ransac(
             model = jax.tree.map(lambda a, b: jnp.where(better, a, b), cand, model)
             inlier_mask = jnp.where(better, inl2, inlier_mask)
             score = jnp.where(better, s2, score)
+            return (model, inlier_mask, score), None
+
+        (model, inlier_mask, score), _ = jax.lax.scan(
+            step, (model, inlier_mask, score),
+            jnp.asarray(lo_multipliers, jnp.float32))
         return model, inlier_mask, score
 
     if lo_candidates <= 1:
