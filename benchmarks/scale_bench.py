@@ -44,12 +44,15 @@ def bench_matching(n_pairs=128, F=5120, D=256, repeats=3):
         f = jax.jit(f)
     else:
         f = match_topk2_pallas
-    r = f(d1, d2, v2)
-    jax.tree.map(lambda x: x.block_until_ready(), r)
+
+    # Force completion with a host fetch of a dependent reduction:
+    # on the tunneled axon platform block_until_ready can return at
+    # enqueue time, which made this metric report >peak-FLOPs numbers.
+    red = jax.jit(lambda t: t[0].sum() + t[1].sum())
+    float(jax.device_get(red(f(d1, d2, v2))))
     t0 = time.perf_counter()
     for _ in range(repeats):
-        r = f(d1, d2, v2)
-        jax.tree.map(lambda x: x.block_until_ready(), r)
+        float(jax.device_get(red(f(d1, d2, v2))))
     dt = (time.perf_counter() - t0) / repeats
     return {"metric": "match_pairs_per_s", "value": round(n_pairs / dt, 2),
             "unit": f"pairs/s @ {F} feats", "detail": {"seconds_per_batch": dt}}
