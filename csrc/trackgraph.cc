@@ -70,13 +70,18 @@ int tpusfm_insert_points(float* xyz, int32_t* obs, int32_t* feat2point,
 // strengthen_dist bounds the transitive-claim hop match (the same knob the
 // numpy fallback and fused engine read as strengthen_max_match_distance);
 // feat_dist is used ONLY for the 3D-merge feature confirmation (SfM.cpp:51).
+// A transitive claim must additionally REPROJECT within reproj_gate pixels
+// in both originating views (poses: V x 3x4 row-major; feat_xy: V x F x 2;
+// pinhole focal/cx/cy) — descriptor-only hops chain wrong tracks on
+// repetitive texture. reproj_gate <= 0 disables the check.
 int tpusfm_insert_points_v2(
     float* xyz, int32_t* obs, int32_t* feat2point, int cap, int V, int F,
     int n_points, int vi, int vj, const float* nxyz, const int32_t* fi,
     const int32_t* fj, int n_new, const int32_t* pair_row,
     const int32_t* right_of, const float* rdist, const int32_t* left_of,
     float merge_dist, float feat_dist, float strengthen_dist, int strengthen,
-    int32_t* stats) {
+    const float* poses, const float* feat_xy, float focal, float cx, float cy,
+    float reproj_gate, int32_t* stats) {
   int appended = 0, merged = 0, dropped = 0;
   const float merge_d2 = merge_dist * merge_dist;
   const int64_t L = F + 1;  // lookup row stride
@@ -110,17 +115,40 @@ int tpusfm_insert_points_v2(
         const int32_t lf = v_new < w ? f_new : cand;
         return (lf >= 0 && lf < F) ? rdist[p * L + lf] : 1e9f;
       };
+      // geometric confirmation of a hop claim: the map point must
+      // reproject within reproj_gate px of the new features in BOTH
+      // originating views (in front of each camera)
+      auto reproj_ok = [&](int32_t t) -> bool {
+        if (reproj_gate <= 0 || !poses || !feat_xy) return true;
+        const float* X = xyz + (int64_t)t * 3;
+        const float g2 = reproj_gate * reproj_gate;
+        const int vs[2] = {vi, vj};
+        const int32_t fs[2] = {a, b};
+        for (int s = 0; s < 2; s++) {
+          const float* P = poses + (int64_t)vs[s] * 12;
+          const float px = P[0] * X[0] + P[1] * X[1] + P[2] * X[2] + P[3];
+          const float py = P[4] * X[0] + P[5] * X[1] + P[6] * X[2] + P[7];
+          const float pz = P[8] * X[0] + P[9] * X[1] + P[10] * X[2] + P[11];
+          if (pz <= 1e-9f) return false;
+          const float u = px / pz * focal + cx;
+          const float v = py / pz * focal + cy;
+          const float* uv = feat_xy + ((int64_t)vs[s] * F + fs[s]) * 2;
+          const float du = u - uv[0], dv = v - uv[1];
+          if (du * du + dv * dv >= g2) return false;
+        }
+        return true;
+      };
       for (int w = 0; w < V && target < 0; w++) {
         if (w == vi || w == vj) continue;
         int32_t cand = partner(vi, a, w);
         if (cand >= 0 && cand < F && hop_dist(vi, a, cand, w) < strengthen_dist) {
           const int32_t p3d = feat2point[(int64_t)w * F + cand];
-          if (p3d >= 0) { target = p3d; break; }
+          if (p3d >= 0 && reproj_ok(p3d)) { target = p3d; break; }
         }
         cand = partner(vj, b, w);
         if (cand >= 0 && cand < F && hop_dist(vj, b, cand, w) < strengthen_dist) {
           const int32_t p3d = feat2point[(int64_t)w * F + cand];
-          if (p3d >= 0) { target = p3d; break; }
+          if (p3d >= 0 && reproj_ok(p3d)) { target = p3d; break; }
         }
       }
     }

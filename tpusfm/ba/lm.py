@@ -118,8 +118,31 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return adj / det[..., None, None]
 
 
+def _huber_weight(rnorm: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """IRLS weight of the Huber loss: 1 inside the scale, scale/|r| outside."""
+    return jnp.minimum(1.0, scale / jnp.maximum(rnorm, 1e-12))
+
+
+def _robust_cost(r: jnp.ndarray, w: jnp.ndarray, loss: str, loss_scale: float):
+    """0.5 * sum of rho(|r|) over weighted observations.
+
+    loss="trivial" is the reference's plain squared error (Ceres NULL
+    loss, SfMBundleAdjustmentUtils.cpp:160); "huber" is the standard
+    Ceres HuberLoss option for outlier-laden scenes.
+    """
+    r2 = jnp.sum(r * r, axis=-1)
+    if loss == "huber":
+        rn = jnp.sqrt(jnp.maximum(r2, 1e-24))
+        rho = jnp.where(rn <= loss_scale, r2,
+                        loss_scale * (2.0 * rn - loss_scale))
+    else:
+        rho = r2
+    return 0.5 * jnp.sum(w * rho)
+
+
 def _cost_only(cams, points, focal, prob: BAProblem, axis_name: str | None = None,
-               pp_delta: jnp.ndarray | None = None) -> jnp.ndarray:
+               pp_delta: jnp.ndarray | None = None, loss: str = "trivial",
+               loss_scale: float = 0.0) -> jnp.ndarray:
     def one(cam, X, uv):
         return _residual_one(cam, X, focal, uv, pp_delta)
 
@@ -127,7 +150,7 @@ def _cost_only(cams, points, focal, prob: BAProblem, axis_name: str | None = Non
         cams, points, prob.uv
     )
     w = (prob.mask & prob.pt_valid[:, None] & prob.cam_valid[None, :]).astype(r.dtype)
-    c = 0.5 * jnp.sum(w[..., None] * r * r)
+    c = _robust_cost(r, w, loss, loss_scale)
     if axis_name is not None:
         c = jax.lax.psum(c, axis_name)
     return c

@@ -62,6 +62,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.c_void_p,
     ]
     lib.tpusfm_find_2d3d.restype = ctypes.c_int
@@ -139,10 +141,18 @@ def insert_points_v2(xyz: np.ndarray, obs: np.ndarray, feat2point: np.ndarray,
                      fi: np.ndarray, fj: np.ndarray, pair_row: np.ndarray,
                      right_of: np.ndarray, rdist: np.ndarray,
                      left_of: np.ndarray, merge_dist: float, feat_dist: float,
-                     strengthen_dist: float, strengthen: bool):
+                     strengthen_dist: float, strengthen: bool,
+                     poses: np.ndarray | None = None,
+                     feat_xy: np.ndarray | None = None,
+                     focal: float = 0.0, cx: float = 0.0, cy: float = 0.0,
+                     reproj_gate: float = 0.0):
     """Native full mergeNewPointCloud (SfM.cpp:530-629): exact + transitive
     feature claims, 3D-distance merge with feature confirmation, sequential
     like the reference. Mutates xyz/obs/feat2point in place.
+
+    A transitive (strengthening) claim is additionally confirmed by
+    reprojection of the claimed map point into both originating views
+    within reproj_gate pixels when poses/feat_xy are given.
 
     Returns (new_n_points, appended, merged, dropped) or None.
     """
@@ -159,11 +169,19 @@ def insert_points_v2(xyz: np.ndarray, obs: np.ndarray, feat2point: np.ndarray,
     ro = np.ascontiguousarray(right_of, np.int32)
     rd = np.ascontiguousarray(rdist, np.float32)
     lo = np.ascontiguousarray(left_of, np.int32)
+    if poses is not None and feat_xy is not None:
+        ps = np.ascontiguousarray(poses, np.float32)
+        fx = np.ascontiguousarray(feat_xy, np.float32)
+        ps_p, fx_p = _ptr(ps), _ptr(fx)
+    else:
+        ps_p = fx_p = None
+        reproj_gate = 0.0
     n2 = lib.tpusfm_insert_points_v2(
         _ptr(xyz), _ptr(obs), _ptr(feat2point), cap, V, F, n_points,
         vi, vj, _ptr(nxyz), _ptr(fi), _ptr(fj), len(fi),
         _ptr(pr), _ptr(ro), _ptr(rd), _ptr(lo),
-        merge_dist, feat_dist, strengthen_dist, int(strengthen), _ptr(stats))
+        merge_dist, feat_dist, strengthen_dist, int(strengthen),
+        ps_p, fx_p, focal, cx, cy, reproj_gate, _ptr(stats))
     return n2, int(stats[0]), int(stats[1]), int(stats[2])
 
 

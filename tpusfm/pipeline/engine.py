@@ -147,7 +147,7 @@ class FusedEngine:
     # on-device cloud merge (SfM::mergeNewPointCloud, SfM.cpp:530-629)
     # ------------------------------------------------------------------ #
     def _merge_points(self, st: EngineState, xyz_new, keep, vi, vj, fi, fj,
-                      right_of, rdist, left_of):
+                      right_of, rdist, left_of, feat_xy):
         """Merge one batch of freshly triangulated points into the map.
 
         Reference semantics (SfM.cpp:544-601, constants :50-51):
@@ -238,6 +238,36 @@ class FusedEngine:
 
             p3d_i, hit_i = partner_all(vi, fi)
             p3d_j, hit_j = partner_all(vj, fj)
+
+            # Geometric confirmation of every hop candidate: the claimed
+            # map point must reproject within the triangulation gate in
+            # BOTH originating views. A descriptor-only hop chains wrong
+            # tracks on repetitive texture (each wrong attach corrupts a
+            # track permanently and BA cannot recover); the reference's
+            # legacy scan has the same failure mode, we add the check the
+            # rest of the pipeline already applies to triangulated points
+            # (SfMStereoUtilities.cpp:184-190).
+            uv_i = feat_xy[vi, jnp.clip(fi, 0, F - 1)]                 # (M, 2)
+            uv_j = feat_xy[vj, jnp.clip(fj, 0, F - 1)]
+            g2 = cfg.min_reprojection_error ** 2
+            pp = jnp.array([self.cx, self.cy], jnp.float32)
+
+            def reproj_ok(p3d):
+                X = st.xyz[jnp.clip(p3d, 0, CAP)]                       # (M, V, 3)
+
+                def err(Rt, uv):
+                    pc = X @ Rt[:, :3].T + Rt[:, 3]
+                    z = pc[..., 2:3]
+                    pr = (pc[..., :2] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+                          * st.focal + pp)
+                    return jnp.sum((pr - uv[:, None, :]) ** 2, -1), pc[..., 2]
+
+                e_i, z_i = err(st.poses[vi], uv_i)
+                e_j, z_j = err(st.poses[vj], uv_j)
+                return (e_i < g2) & (e_j < g2) & (z_i > 0) & (z_j > 0)
+
+            hit_i = hit_i & reproj_ok(p3d_i)
+            hit_j = hit_j & reproj_ok(p3d_j)
             # first-hit priority matches the original scan order:
             # (w=0, vi), (w=0, vj), (w=1, vi), ...
             hit = jnp.stack([hit_i, hit_j], axis=2).reshape(-1, 2 * V)
@@ -471,7 +501,7 @@ class FusedEngine:
             st2, n_new, n_merged, n_drop = self._merge_points(
                 st2, xyz, keep & accept, i, j,
                 match_idx[p, :, 0], match_idx[p, :, 1],
-                right_of, rdist, left_of)
+                right_of, rdist, left_of, feat_xy)
             st2, (ba0, ba1, bait) = jax.lax.cond(
                 accept,
                 lambda s: self._run_ba(
@@ -596,7 +626,7 @@ class FusedEngine:
                 xyz_s, keep_s, fn_s, fg_s, g_s = slot
                 st_c, n_new, n_mrg, n_drp = self._merge_points(
                     st_c, xyz_s, keep_s & pose_ok, best, g_s, fn_s, fg_s,
-                    right_of, rdist, left_of)
+                    right_of, rdist, left_of, feat_xy)
                 return (st_c, tot + jnp.array([n_new, n_mrg, n_drp])), None
 
             st = st._replace(

@@ -680,13 +680,17 @@ class SfMPipeline:
         pair_row, right_of, rdist, left_of = self._match_lookup()
 
         if native.available():
+            K = np_of(self.intr.K)
             out = native.insert_points_v2(
                 self.xyz, self.obs, self.feat2point, self.n_points, vi, vj,
                 xyz, fi, fj, pair_row, right_of, rdist, left_of,
                 cfg.merge_point_min_match_distance,
                 cfg.merge_feature_min_match_distance,
                 cfg.strengthen_max_match_distance,
-                cfg.cross_view_strengthen)
+                cfg.cross_view_strengthen,
+                poses=self.poses, feat_xy=self.feat_xy,
+                focal=float(K[0, 0]), cx=float(K[0, 2]), cy=float(K[1, 2]),
+                reproj_gate=cfg.min_reprojection_error)
             if out is not None:
                 self.n_points, appended, merged, dropped = out
                 self._log(1, f"  merge: {appended} new points, {merged} merged, "
@@ -701,8 +705,28 @@ class SfMPipeline:
         pj = self.feat2point[vj, np.clip(fj, 0, F - 1)]
         target = np.where(pi >= 0, pi, pj).astype(np.int64)
 
-        # transitive claims (legacy strengthening)
+        # transitive claims (legacy strengthening), each confirmed by
+        # reprojection of the claimed map point into BOTH originating
+        # views within the triangulation gate — a descriptor-only hop
+        # chains wrong tracks on repetitive texture (same gate the fused
+        # engine applies, SfMStereoUtilities.cpp:184-190 semantics)
         if cfg.cross_view_strengthen:
+            uv_i = self.feat_xy[vi, np.clip(fi, 0, F - 1)]
+            uv_j = self.feat_xy[vj, np.clip(fj, 0, F - 1)]
+            g2 = cfg.min_reprojection_error ** 2
+            Kh = np_of(self.intr.K)
+
+            def reproj_ok(p3d):
+                X = self.xyz[np.clip(p3d, 0, max(self.n_points - 1, 0))]
+                ok = np.ones(len(p3d), bool)
+                for v, uv in ((vi, uv_i), (vj, uv_j)):
+                    Rt = self.poses[v]
+                    pc = X @ Rt[:, :3].T + Rt[:, 3]
+                    z = np.where(np.abs(pc[:, 2:3]) < 1e-9, 1e-9, pc[:, 2:3])
+                    pr = (pc[:, :2] / z) * Kh[0, 0] + Kh[:2, 2]
+                    ok &= (pc[:, 2] > 0) & (((pr - uv) ** 2).sum(1) < g2)
+                return ok
+
             for w in range(self.V):
                 if w == vi or w == vj:
                     continue
@@ -717,7 +741,8 @@ class SfMPipeline:
                          else rdist[p, np.clip(cand, 0, F)])
                     p3d = self.feat2point[w, np.clip(cand, 0, F - 1)]
                     hit = ((cand >= 0) & (p3d >= 0)
-                           & (d < cfg.strengthen_max_match_distance))
+                           & (d < cfg.strengthen_max_match_distance)
+                           & reproj_ok(p3d))
                     target = np.where((target < 0) & hit, p3d, target)
 
         # 3D-distance merge with 2D feature confirmation
