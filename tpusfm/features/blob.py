@@ -30,12 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpusfm.features.detect import (
+    _DIFF3,
+    _SMOOTH3,
     _bilinear,
     _border_mask,
-    _conv2d,
+    _conv1d_taps,
     _nms3,
-    _SOBEL_X,
-    _SOBEL_Y,
     _subpixel_offsets,
 )
 from tpusfm.types import Features
@@ -153,8 +153,8 @@ def _scale_pipeline(imgs, *, sigma, per_scale, margin, threshold):
         xsf = xi.astype(jnp.float32) + dx
         g, _, _ = _gauss_derivative_kernels(sigma)
         smooth = _conv_sep_kernels(img, g, g)
-        ix = _conv2d(smooth, _SOBEL_X)
-        iy = _conv2d(smooth, _SOBEL_Y)
+        ix = _conv1d_taps(_conv1d_taps(smooth, _SMOOTH3, 0), _DIFF3, 1)
+        iy = _conv1d_taps(_conv1d_taps(smooth, _SMOOTH3, 1), _DIFF3, 0)
         ang = _orientation(ix, iy, xsf, ysf, sigma)
         desc = _surf_descriptors(ix, iy, xsf, ysf, ang, sigma)
         return score, xsf, ysf, ang, desc

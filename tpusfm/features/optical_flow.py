@@ -21,7 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpusfm.features.detect import _bilinear, _gaussian_kernel1d, _sep_conv2d, _SOBEL_X, _SOBEL_Y, _conv2d
+from tpusfm.features.detect import (
+    _DIFF3,
+    _SMOOTH3,
+    _bilinear,
+    _conv1d_taps,
+    _gaussian_kernel1d,
+    _sep_conv2d,
+)
 from tpusfm.types import Features, Matches
 
 _BIG = 1e9
@@ -112,8 +119,9 @@ def track_points(
     for lvl in reversed(range(levels)):
         s = 2.0**lvl
         I, J = pyr1[lvl], pyr2[lvl]
-        Ix = _conv2d(I, _SOBEL_X)
-        Iy = _conv2d(I, _SOBEL_Y)
+        # Sobel/8 = smooth (1,2,1)/4 x diff (-1,0,1)/2, as shift-adds
+        Ix = _conv1d_taps(_conv1d_taps(I, _SMOOTH3, 0), _DIFF3, 1)
+        Iy = _conv1d_taps(_conv1d_taps(I, _SMOOTH3, 1), _DIFF3, 0)
         flow = _lk_level(I, J, Ix, Iy, pts / s, flow / s, radius, iters) * s
 
     # final residual at full resolution

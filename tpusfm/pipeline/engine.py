@@ -458,19 +458,32 @@ class FusedEngine:
         sortkey = jnp.where(eligible, ratio, jnp.where(fallback, ratio + 10.0, 1e9))
         order = jnp.argsort(sortkey)
 
+        # The loop body only SEARCHES (E-RANSAC + pose gates + triangulation);
+        # the winning pair's map seeding (merge + BA) runs ONCE after the
+        # loop — on the accepting iteration the loop terminates, so hoisting
+        # them is behavior-preserving and removes a whole merge+BA subgraph
+        # from the compiled while-body (a large slice of the cold compile).
+        M = match_valid.shape[1]
+        seed0 = dict(
+            p=jnp.zeros((), jnp.int32),
+            Rt=jnp.zeros((3, 4), jnp.float32),
+            xyz=jnp.zeros((M, 3), jnp.float32),
+            keep=jnp.zeros((M,), bool),
+            ratio=jnp.zeros(()),
+            n_valid=jnp.zeros(()),
+        )
+
         def baseline_body(carry):
-            c, st, seeded = carry
+            c, sd, seeded = carry
             p = order[c]
-            i = self._pairs[p, 0]
-            j = self._pairs[p, 1]
             valid = match_valid[p]
             uv1, uv2 = self._pair_uv(feat_xy, match_idx, p)
             # namespace the baseline stream away from the add-view stream
             # (plain fold_in(key, c) would collide with fold_in(key, it)
             # counters for V(V-1)/2 >= add-view iteration indices)
             k1 = jax.random.fold_in(jax.random.fold_in(key, 0), c)
-            K = self._K(st.focal)
-            Kinv = self._Kinv(st.focal)
+            K = self._K(st0.focal)
+            Kinv = self._Kinv(st0.focal)
             res = find_camera_from_match(
                 k1, uv1, uv2, valid, K, Kinv,
                 threshold_px=cfg.essential_threshold_px,
@@ -491,46 +504,54 @@ class FusedEngine:
                 eps=cfg.triangulation_eps)
             keep = self._adaptive_gate(e1, e2, keep)
             accept = pose_ok & (jnp.sum(keep) >= 16)
+            sd2 = dict(p=p, Rt=res.Rt, xyz=xyz, keep=keep,
+                       ratio=res.inlier_ratio,
+                       n_valid=jnp.sum(valid).astype(jnp.float32))
+            sd_next = _tree_where(accept, sd2, sd)
+            return c + 1, sd_next, seeded | accept
 
+        def baseline_cond(carry):
+            c, _, seeded = carry
+            return (~seeded) & (c < P)
+
+        _, sd, seeded = jax.lax.while_loop(
+            baseline_cond, baseline_body,
+            (jnp.zeros((), jnp.int32), seed0, jnp.zeros((), bool)))
+
+        def seed_map(st):
+            p = sd["p"]
+            i = self._pairs[p, 0]
+            j = self._pairs[p, 1]
+            Rt1 = jnp.concatenate([jnp.eye(3, dtype=jnp.float32),
+                                   jnp.zeros((3, 1), jnp.float32)], axis=1)
             st2 = st._replace(
-                poses=st.poses.at[i].set(Rt1).at[j].set(res.Rt),
+                poses=st.poses.at[i].set(Rt1).at[j].set(sd["Rt"]),
                 pose_valid=st.pose_valid.at[i].set(True).at[j].set(True),
                 done=st.done.at[i].set(True).at[j].set(True),
                 good=st.good.at[i].set(True).at[j].set(True),
             )
             st2, n_new, n_merged, n_drop = self._merge_points(
-                st2, xyz, keep & accept, i, j,
+                st2, sd["xyz"], sd["keep"], i, j,
                 match_idx[p, :, 0], match_idx[p, :, 1],
                 right_of, rdist, left_of, feat_xy)
-            st2, (ba0, ba1, bait) = jax.lax.cond(
-                accept,
-                lambda s: self._run_ba(
-                    s, feat_xy,
-                    max_iterations=cfg.ba_incremental_iterations,
-                    function_tolerance=cfg.ba_incremental_tolerance),
-                lambda s: (s, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))), st2)
+            st2, (ba0, ba1, bait) = self._run_ba(
+                st2, feat_xy,
+                max_iterations=cfg.ba_incremental_iterations,
+                function_tolerance=cfg.ba_incremental_tolerance)
             row = jnp.array([0, 0, 0, 0, 0, 0, 0, 0, 0, 0], jnp.float32)
             row = row.at[S_VIEW].set((i * 100 + j).astype(jnp.float32))
-            row = row.at[S_N2D3D].set(jnp.sum(valid).astype(jnp.float32))
-            row = row.at[S_RATIO].set(res.inlier_ratio)
-            row = row.at[S_OK].set(accept.astype(jnp.float32))
+            row = row.at[S_N2D3D].set(sd["n_valid"])
+            row = row.at[S_RATIO].set(sd["ratio"])
+            row = row.at[S_OK].set(1.0)
             row = row.at[S_NEW].set(n_new.astype(jnp.float32))
             row = row.at[S_MERGED].set(n_merged.astype(jnp.float32))
             row = row.at[S_DROPPED].set(n_drop.astype(jnp.float32))
             row = row.at[S_BA0].set(ba0)
             row = row.at[S_BA1].set(ba1)
             row = row.at[S_BAIT].set(bait)
-            st2 = st2._replace(stats=st2.stats.at[0].set(row))
-            st_next = _tree_where(accept, st2, st)
-            return c + 1, st_next, seeded | accept
+            return st2._replace(stats=st2.stats.at[0].set(row))
 
-        def baseline_cond(carry):
-            c, _, seeded = carry
-            return (~seeded) & (c < P)
-
-        _, st, seeded = jax.lax.while_loop(
-            baseline_cond, baseline_body,
-            (jnp.zeros((), jnp.int32), st0, jnp.zeros((), bool)))
+        st = jax.lax.cond(seeded, seed_map, lambda s: s, st0)
 
         # ---- add-view loop (SfM::addMoreViewsToReconstruction, SfM.cpp:366-469)
         a_all = self._pairs[:, 0]
