@@ -66,6 +66,21 @@ def test_two_view_pipeline(scene):
     assert rec.mean_reprojection_error < 1.5
 
 
+def test_engine_capacity_saturation(scene):
+    """Overflowing engine_point_capacity must warn and truncate gracefully
+    (fixed-shape design constraint: the fused engine routes overflow points
+    to the trash row instead of growing the map, pipeline/engine.py)."""
+    imgs, poses, K, dots = scene
+    cfg = _cfg(engine_point_capacity=64, use_pallas_matcher=False)
+    pipe = SfMPipeline(imgs, cfg, intrinsics=_intr(K))
+    assert pipe._fused_applicable()
+    with pytest.warns(RuntimeWarning, match="saturated engine_point_capacity"):
+        rec = pipe.run()
+    assert pipe.n_points <= 64
+    assert rec.xyz.shape[0] == pipe.n_points
+    assert int(rec.pose_valid.sum()) >= 2  # still a usable reconstruction
+
+
 def test_optical_flow_matcher_pipeline(scene):
     imgs, poses, K, dots = scene
     cfg = _cfg(matcher=MatcherKind.OPTICAL_FLOW)

@@ -711,21 +711,29 @@ class SfMPipeline:
         # chains wrong tracks on repetitive texture (same gate the fused
         # engine applies, SfMStereoUtilities.cpp:184-190 semantics)
         if cfg.cross_view_strengthen:
-            uv_i = self.feat_xy[vi, np.clip(fi, 0, F - 1)]
-            uv_j = self.feat_xy[vj, np.clip(fj, 0, F - 1)]
-            g2 = cfg.min_reprojection_error ** 2
-            Kh = np_of(self.intr.K)
+            # Reprojection confirmation needs per-feature pixel coordinates;
+            # when extract() hasn't populated them (feat_xy is None) the hop
+            # is accepted on descriptor distance alone — same degradation as
+            # the native runtime (native.py passes reproj_gate=0 then).
+            if self.feat_xy is not None:
+                uv_i = self.feat_xy[vi, np.clip(fi, 0, F - 1)]
+                uv_j = self.feat_xy[vj, np.clip(fj, 0, F - 1)]
+                g2 = cfg.min_reprojection_error ** 2
+                Kh = np_of(self.intr.K)
 
-            def reproj_ok(p3d):
-                X = self.xyz[np.clip(p3d, 0, max(self.n_points - 1, 0))]
-                ok = np.ones(len(p3d), bool)
-                for v, uv in ((vi, uv_i), (vj, uv_j)):
-                    Rt = self.poses[v]
-                    pc = X @ Rt[:, :3].T + Rt[:, 3]
-                    z = np.where(np.abs(pc[:, 2:3]) < 1e-9, 1e-9, pc[:, 2:3])
-                    pr = (pc[:, :2] / z) * Kh[0, 0] + Kh[:2, 2]
-                    ok &= (pc[:, 2] > 0) & (((pr - uv) ** 2).sum(1) < g2)
-                return ok
+                def reproj_ok(p3d):
+                    X = self.xyz[np.clip(p3d, 0, max(self.n_points - 1, 0))]
+                    ok = np.ones(len(p3d), bool)
+                    for v, uv in ((vi, uv_i), (vj, uv_j)):
+                        Rt = self.poses[v]
+                        pc = X @ Rt[:, :3].T + Rt[:, 3]
+                        z = np.where(np.abs(pc[:, 2:3]) < 1e-9, 1e-9, pc[:, 2:3])
+                        pr = (pc[:, :2] / z) * Kh[0, 0] + Kh[:2, 2]
+                        ok &= (pc[:, 2] > 0) & (((pr - uv) ** 2).sum(1) < g2)
+                    return ok
+            else:
+                def reproj_ok(p3d):
+                    return np.ones(len(p3d), bool)
 
             for w in range(self.V):
                 if w == vi or w == vj:
@@ -990,8 +998,8 @@ class SfMPipeline:
             done_views=np.array(sorted(self.done_views), np.int32),
             good_views=np.array(sorted(self.good_views), np.int32),
             K=np_of(self.intr.K),
-            feat_xy=self.feat_xy,
-            feat_valid=self.feat_valid,
+            feat_xy=self.feat_xy if self.feat_xy is not None else np.zeros(0),
+            feat_valid=self.feat_valid if self.feat_valid is not None else np.zeros(0),
             feat_desc=np_of(self.features.desc) if self.features is not None else np.zeros(0),
             feat_score=np_of(self.features.score) if self.features is not None else np.zeros(0),
             feat_angle=np_of(self.features.angle) if self.features is not None else np.zeros(0),
@@ -1016,8 +1024,8 @@ class SfMPipeline:
         self.good_views = set(int(v) for v in d["good_views"])
         K = d["K"]
         self.intr = Intrinsics.create(float(K[0, 0]), float(K[0, 2]), float(K[1, 2]))
-        self.feat_xy = d["feat_xy"]
-        self.feat_valid = d["feat_valid"]
+        self.feat_xy = d["feat_xy"] if d["feat_xy"].size else None
+        self.feat_valid = d["feat_valid"] if d["feat_valid"].size else None
         if d["feat_desc"].size:
             self.features = Features(
                 xy=jnp.asarray(d["feat_xy"]), desc=jnp.asarray(d["feat_desc"]),
