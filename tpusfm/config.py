@@ -137,6 +137,18 @@ class SfMConfig:
     engine_point_capacity: int = 4096         # static map size of the fused engine
     engine_pnp_capacity: int = 4096           # static 2D-3D correspondence cap
 
+    # ---- collection-scale pipeline (pipeline/collection.py) ----
+    # The reference scales the view axis only by thread-parallel all-pairs
+    # matching (SfM.cpp:165-211) — O(V^2) pairs. The collection pipeline
+    # matches a sliding window of sequential pairs instead and replaces the
+    # per-insert cloud-merge scans with one global track graph, which is
+    # what reaches the 500/5000-image BASELINE configs.
+    collection_window: int = 8                # match view i against i+1..i+window
+    collection_wraparound: bool = False       # closed-loop collections: also match across the seam
+    collection_local_ba_cams: int = 8         # sliding local-BA camera window
+    collection_global_ba_interval: int = 50   # global COO BA every k registrations
+    collection_match_chunk: int = 256         # pairs per matching dispatch
+
     # ---- logging (reference: SfMCommon.h:38-44) ----
     console_debug_level: int = 2              # 0=TRACE..4=ERROR, clamped like SfM.h:77-83
     visual_debug_level: int = 4               # <=2 writes overlay dumps to debug_dir

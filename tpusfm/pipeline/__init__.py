@@ -9,5 +9,8 @@ next, did the pose gate pass) runs in host Python on tiny gathered arrays
 
 from tpusfm.pipeline.incremental import SfMPipeline, Reconstruction, run_sfm
 from tpusfm.pipeline.two_view import reconstruct_two_view
+from tpusfm.pipeline.collection import (
+    CollectionPipeline, CollectionReconstruction, window_pairs)
 
-__all__ = ["SfMPipeline", "Reconstruction", "run_sfm", "reconstruct_two_view"]
+__all__ = ["SfMPipeline", "Reconstruction", "run_sfm", "reconstruct_two_view",
+           "CollectionPipeline", "CollectionReconstruction", "window_pairs"]
