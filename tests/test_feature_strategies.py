@@ -125,3 +125,33 @@ def test_min_eig_detector_score():
     f = extract_features_single(jnp.asarray(img), max_features=256,
                                 pyramid_levels=1, score_kind="min_eig")
     assert int(jnp.sum(f.valid)) > 50
+
+
+def test_dense_rigid_seeding_rescues_large_baseline():
+    """Rigid-transform flow seeding (FeatureMatching.cpp:229-259): a
+    ~120 px global shift is beyond the pyramidal LK capture range from a
+    zero flow init, but the similarity estimated from ratio-test feature
+    matches seeds the flow and the dense strategy recovers the pair."""
+    from tpusfm.features import extract_features
+    from tpusfm.features.dense import match_pair_dense
+
+    img1 = blob_image(seed=5)
+    img2 = blob_image(seed=5, shift=120.0)      # same scene, 120 px shift
+    feats = extract_features(jnp.asarray(np.stack([img1, img2])),
+                             max_features=512, pyramid_levels=3)
+    args = (jnp.asarray(img1), jnp.asarray(img2),
+            feats.xy[0], feats.valid[0], feats.xy[1], feats.valid[1])
+    unseeded = match_pair_dense(*args, max_matches=512,
+                                seed_with_features=False)
+    seeded = match_pair_dense(*args, max_matches=512,
+                              feats1_desc=feats.desc[0],
+                              feats2_desc=feats.desc[1])
+    n_un = int(np.asarray(unseeded.valid).sum())
+    n_se = int(np.asarray(seeded.valid).sum())
+    assert n_se > max(3 * n_un, 60), (n_un, n_se)
+    # matched displacement must recover the true 120 px shift
+    mi = np.asarray(seeded.idx)[np.asarray(seeded.valid)]
+    d = (np.asarray(feats.xy[1])[mi[:, 1]]
+         - np.asarray(feats.xy[0])[mi[:, 0]])
+    assert abs(np.median(d[:, 0]) - 120.0) < 2.0
+    assert abs(np.median(d[:, 1])) < 2.0

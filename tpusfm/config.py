@@ -148,6 +148,14 @@ class SfMConfig:
     collection_local_ba_cams: int = 8         # sliding local-BA camera window
     collection_global_ba_interval: int = 50   # global COO BA every k registrations
     collection_match_chunk: int = 256         # pairs per matching dispatch
+    # Minimum ray parallax for an accepted triangulation. Without it, the
+    # cheirality + reprojection gates keep the biased-NEAR tail of the
+    # low-parallax depth distribution (far/behind solutions get rejected),
+    # every new PnP pose then fits too-near points, and the map scale
+    # CONTRACTS compounding per view until it collapses — the classic
+    # sequential-SfM failure the reference never hits because its photo
+    # sets have wide baselines. 1.5 deg is the COLMAP default.
+    min_triangulation_angle_deg: float = 1.5
 
     # ---- logging (reference: SfMCommon.h:38-44) ----
     console_debug_level: int = 2              # 0=TRACE..4=ERROR, clamped like SfM.h:77-83

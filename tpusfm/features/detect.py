@@ -92,8 +92,11 @@ def _sep_conv2d(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return _conv1d_taps(_conv1d_taps(img, k, 0), k, 1)
 
 
-_SMOOTH3 = jnp.array([1.0, 2.0, 1.0], jnp.float32) / 4.0
-_DIFF3 = jnp.array([-1.0, 0.0, 1.0], jnp.float32) / 2.0
+# numpy on purpose: module-level jnp.array would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize in
+# multi-host entry points (it must run before any backend touch)
+_SMOOTH3 = np.array([1.0, 2.0, 1.0], np.float32) / 4.0
+_DIFF3 = np.array([-1.0, 0.0, 1.0], np.float32) / 2.0
 
 
 def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:

@@ -96,8 +96,15 @@ def track_points(
     levels: int = 4,
     radius: int = 10,
     iters: int = 20,
+    init_flow: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Track (K, 2) [x, y] points from img1 into img2.
+
+    init_flow (K, 2) seeds the coarsest-level estimate — the legacy
+    feature-seeded flow initialization (FeatureMatching.cpp:229-259 warps
+    the first frame by estimateRigidTransform before Farneback; here the
+    predicted displacement enters LK directly, which is the same
+    basin-of-convergence fix without resampling the image).
 
     Returns (endpoints (K, 2), residual error (K,) mean |I - J| over the
     window on the 0..255 byte scale the legacy filter uses).
@@ -115,7 +122,7 @@ def track_points(
         pyr1.append(lv1)
         pyr2.append(lv2)
 
-    flow = jnp.zeros_like(pts)
+    flow = jnp.zeros_like(pts) if init_flow is None else init_flow
     for lvl in reversed(range(levels)):
         s = 2.0**lvl
         I, J = pyr1[lvl], pyr2[lvl]

@@ -209,6 +209,7 @@ class CollectionPipeline:
         self._jit_pnp = jax.jit(pnp)
 
         gate = cfg.min_reprojection_error
+        cos_min = float(np.cos(np.radians(cfg.min_triangulation_angle_deg)))
 
         def tri_rows(Rt1, Rt2, uv1, uv2, valid, K, Kinv):
             def one(r1, r2, a, b):
@@ -221,7 +222,13 @@ class CollectionPipeline:
                 e2 = jnp.linalg.norm(camera.project_points(r2, K, X[None])[0] - b)
                 z1 = camera.transform_points(r1, X[None])[0, 2]
                 z2 = camera.transform_points(r2, X[None])[0, 2]
+                # parallax-angle gate (see SfMConfig.min_triangulation_angle_deg)
+                ray1 = X - camera.camera_center(r1)
+                ray2 = X - camera.camera_center(r2)
+                cosang = jnp.dot(ray1, ray2) / jnp.maximum(
+                    jnp.linalg.norm(ray1) * jnp.linalg.norm(ray2), 1e-12)
                 keep = ((e1 <= gate) & (e2 <= gate) & (z1 > 0) & (z2 > 0)
+                        & (cosang <= cos_min)
                         & jnp.all(jnp.isfinite(X)))
                 return X, keep
 
@@ -566,6 +573,8 @@ class CollectionPipeline:
         if len(in_v) == 0:
             return 0
         keep = self._tri_obs_pairs(in_v, best_obs[self.obs_track[in_v]])
+        self._log(0, f"  triangulate: {int(keep.sum())}/{len(in_v)} candidates "
+                     f"passed the dual {self.cfg.min_reprojection_error:.0f}px gate")
         return int(keep.sum())
 
     def _retriangulate(self) -> int:
@@ -733,7 +742,14 @@ class CollectionPipeline:
         self._triangulate_new(self.reg_order[1])
         self._ba(np.array(self.reg_order), global_ba=False)
 
+        def global_round(level: int):
+            self._ba(np.nonzero(self.pose_valid)[0], global_ba=True)
+            n_re = self._retriangulate()
+            if n_re:
+                self._log(level, f"retriangulated {n_re} pool tracks")
+
         since_global = 0
+        stalled = 0
         failed: set = set()
         while True:
             counts = np.bincount(
@@ -744,21 +760,35 @@ class CollectionPipeline:
                 counts[v] = 0
             v = int(np.argmax(counts))
             if counts[v] < 8:
-                break   # nothing registerable left (all failed or starved)
+                # The frontier stalled — every candidate failed PnP or
+                # starved. PnP failures at a long-running frontier are
+                # usually accumulated drift (local BA windows cannot fix
+                # the whole chain): consolidate with a global BA +
+                # retriangulation and RETRY the failed views once. Only a
+                # stall that repeats immediately after a fresh global
+                # round is terminal.
+                if stalled >= 1 or not failed:
+                    break
+                self._log(1, f"frontier stalled at {len(failed)} failed views "
+                             "- global consolidation + retry")
+                global_round(0)
+                failed.clear()
+                since_global = 0
+                stalled += 1
+                continue
             if not self._pnp_view(v):
                 failed.add(v)
                 continue
             failed.clear()
+            stalled = 0
             n_new = self._triangulate_new(v)
             self._log(0, f"view {v}: +{n_new} tracks triangulated")
             free = np.array(self.reg_order[-cfg.collection_local_ba_cams:])
             self._ba(free, global_ba=False)
             since_global += 1
             if since_global >= cfg.collection_global_ba_interval:
-                self._ba(np.nonzero(self.pose_valid)[0], global_ba=True)
-                n_re = self._retriangulate()
-                if n_re:
-                    self._log(0, f"retriangulated {n_re} pool tracks")
+                global_round(0)
+                failed.clear()     # a better map may revive failed views
                 since_global = 0
 
         # final polish: global BA, recover pruned tracks at the refined

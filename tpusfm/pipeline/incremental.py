@@ -495,11 +495,18 @@ class SfMPipeline:
                 ))
         gray = jnp.asarray(self.gray)
         idx_list, valid_list, dist_list = [], [], []
+        dense = self.cfg.matcher == MatcherKind.DENSE
         for (i, j) in self.pairs:
+            extra = {}
+            if dense:
+                # rigid-transform flow seeding from the ratio-test feature
+                # matches (legacy FeatureMatching.cpp:229-259)
+                extra = dict(feats1_desc=self.features.desc[i],
+                             feats2_desc=self.features.desc[j])
             m = self._jit_of_match(
                 gray[i], gray[j],
                 self.features.xy[i], self.features.valid[i],
-                self.features.xy[j], self.features.valid[j])
+                self.features.xy[j], self.features.valid[j], **extra)
             idx_list.append(np_of(m.idx))
             valid_list.append(np_of(m.valid))
             dist_list.append(np_of(m.dist))
