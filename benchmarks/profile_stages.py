@@ -172,10 +172,17 @@ def main():
     dt, _ = t(pnp, key)
     print(f"pnp (B={cfg.pnp_hypotheses}, N={eng.PNP_CAP}): {dt*1e3:.1f} ms", flush=True)
 
-    # ---- full solve program ----
-    dt, out = t(eng._jit_solve, feats.xy, feats.valid, m.idx, mv, m.dist,
-                right_of, rdist, left_of, hc, key)
-    print(f"fused solve: {dt*1e3:.1f} ms  (n_points={int(out['n_points'])}, "
+    # ---- full solve (baseline + V-2 steps + finish) ----
+    def full_solve(key):
+        st, seeded = eng._jit_baseline(feats.xy, m.idx, mv, right_of, rdist,
+                                       left_of, hc, key)
+        for it in range(eng.V - 2):
+            st = eng._jit_step(st, jnp.int32(it), feats.xy, m.idx, mv,
+                               right_of, rdist, left_of, key)
+        return eng._jit_finish(st, seeded, feats.xy)
+
+    dt, out = t(full_solve, key)
+    print(f"solve programs: {dt*1e3:.1f} ms  (n_points={int(out['n_points'])}, "
           f"ba_iters={float(out['stats'][:, 9].sum()):.0f})", flush=True)
 
 

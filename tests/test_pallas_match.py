@@ -30,6 +30,21 @@ def test_streaming_top2_matches_dense():
         np.testing.assert_allclose(dm[np.arange(F), np.array(idx[p])], srt[:, 0])
 
 
+def test_int8_kernel_matches_f32_kernel():
+    """The int8 MXU path must be bit-identical to the f32 path (VERDICT r3
+    #6: raise matcher MFU with unchanged match outputs)."""
+    P, F, D = 2, 512, 256
+    d1, d2 = _random_descs(P, F, D, seed=7)
+    v2 = np.ones((P, F), bool)
+    v2[:, -29:] = False
+    a = match_topk2_pallas(jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v2),
+                           interpret=True, use_int8=False)
+    b = match_topk2_pallas(jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v2),
+                           interpret=True, use_int8=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.array(x), np.array(y))
+
+
 def test_match_pairs_pallas_agrees_with_jnp_matcher():
     P, F, D = 1, 256, 256
     rng = np.random.default_rng(3)

@@ -57,7 +57,6 @@ from tpusfm.geometry import (
 from tpusfm.geometry.triangulation import triangulate_hartley_sturm
 from tpusfm.types import Features, Intrinsics, np_of
 
-_BASELINE_TRIES = 20
 
 
 def window_pairs(V: int, window: int, wraparound: bool = False) -> np.ndarray:
@@ -302,9 +301,20 @@ class CollectionPipeline:
         M = cfg.max_matches
         self.match_idx = np.full((P, M, 2), -1, np.int32)
         self.match_valid = np.zeros((P, M), bool)
-        jit_local = jax.jit(lambda f, p: match_all_pairs(
-            f, p, ratio=cfg.match_ratio, cross_check=cfg.cross_check,
-            max_matches=M))
+        # single-TPU path: the streaming int8 Pallas kernel (O(F*D) HBM
+        # instead of the O(F^2) distance matrix; identical match outputs)
+        use_pallas = (self.mesh is None and jax.default_backend() != "cpu"
+                      and not cfg.cross_check
+                      and cfg.max_features % 256 == 0)
+        if use_pallas:
+            from tpusfm.features.pallas_match import match_pairs_pallas
+
+            jit_local = jax.jit(lambda f, p: match_pairs_pallas(
+                f.desc, f.valid, p, ratio=cfg.match_ratio, max_matches=M))
+        else:
+            jit_local = jax.jit(lambda f, p: match_all_pairs(
+                f, p, ratio=cfg.match_ratio, cross_check=cfg.cross_check,
+                max_matches=M))
         for s in range(0, P, CH):
             blk = self.pairs[s:s + CH]
             pad = CH - len(blk)
@@ -428,8 +438,14 @@ class CollectionPipeline:
                 msk.sum(1)[:len(blk)], 1)
         order = cand[np.argsort(ratios)]
 
+        # The reference iterates over EVERY pair in ascending H-inlier
+        # order until one passes the pose gates (SfM.cpp:236-320). A
+        # fixed small try budget breaks closed-loop collections whose
+        # widest-window pairs alias under repetitive texture: all the
+        # best-ranked (widest) pairs fail the inlier-ratio gate and the
+        # narrow, matchable pairs are never reached.
         Kj, Kinv = self._K()
-        for p in order[:_BASELINE_TRIES]:
+        for p in order:
             i, j = map(int, self.pairs[p])
             uv1, uv2, msk = self._pair_coords(p)
             res = self._jit_two_view(self._split(), uv1, uv2, msk, Kj, Kinv)

@@ -111,6 +111,7 @@ class FusedEngine:
         self._pair_row = jnp.asarray(pr)
         self._build_programs()
         self.timings = {}
+        self._compile_futures = None
 
     # ------------------------------------------------------------------ #
     # small helpers (traced)
@@ -428,13 +429,24 @@ class FusedEngine:
             return jax.vmap(one)(keys, jnp.arange(P))
 
         self._jit_prune = jax.jit(prune_all)
-        self._jit_solve = jax.jit(self._solve)
+        # The reconstruction is three separately-compiled programs instead
+        # of one fused graph (VERDICT r3 #5: the monolithic while+fori
+        # program cost ~90 s of XLA optimization cold). The host drives
+        # them with purely-async dispatches — zero device->host syncs
+        # between programs — so warm throughput is unchanged while the
+        # three much smaller graphs compile faster AND in parallel
+        # threads (XLA releases the GIL; see run()/compile_parallel()).
+        self._jit_baseline = jax.jit(self._baseline)
+        self._jit_step = jax.jit(self._step, donate_argnums=(0,))
+        self._jit_finish = jax.jit(self._finish, donate_argnums=(0,))
 
     # ------------------------------------------------------------------ #
-    def _solve(self, feat_xy, feat_valid, match_idx, match_valid, match_dist,
-               right_of, rdist, left_of, h_counts, key):
+    def _baseline(self, feat_xy, match_idx, match_valid,
+                  right_of, rdist, left_of, h_counts, key):
+        """Baseline ranking + pair search + map seeding + first BA
+        (SfM.cpp:215-364). Returns (EngineState, seeded)."""
         cfg = self.cfg
-        V, F, M, P, CAP, PNP_CAP = self.V, self.F, self.M, self.P, self.CAP, self.PNP_CAP
+        V, F, P, CAP = self.V, self.F, self.P, self.CAP
         use_horn = cfg.decomposition == EssentialDecomposition.HORN90
 
         st0 = EngineState(
@@ -552,8 +564,17 @@ class FusedEngine:
             return st2._replace(stats=st2.stats.at[0].set(row))
 
         st = jax.lax.cond(seeded, seed_map, lambda s: s, st0)
+        return st, seeded
 
-        # ---- add-view loop (SfM::addMoreViewsToReconstruction, SfM.cpp:366-469)
+    # ------------------------------------------------------------------ #
+    def _step(self, st, it, feat_xy, match_idx, match_valid,
+              right_of, rdist, left_of, key):
+        """One add-view registration (SfM::addMoreViewsToReconstruction,
+        SfM.cpp:366-469). `it` is a traced scalar so V-2 host dispatches
+        reuse ONE compiled program; the PRNG stream fold_in(fold_in(key,1),
+        it) is identical to the former fused fori_loop body's."""
+        cfg = self.cfg
+        V, F, P, CAP, PNP_CAP = self.V, self.F, self.P, self.CAP, self.PNP_CAP
         a_all = self._pairs[:, 0]
         b_all = self._pairs[:, 1]
 
@@ -576,102 +597,102 @@ class FusedEngine:
             cnt = jnp.sum(pof[:, :F] >= 0, axis=1)
             return pof, cnt
 
-        def add_view_body(it, st):
-            pof, cnt = all_2d3d(st)
-            cnt = jnp.where(st.done, -1, cnt)
-            best = jnp.argmax(cnt).astype(jnp.int32)
-            n2d3d = cnt[best]
-            st = st._replace(done=st.done.at[best].set(True))   # SfM.cpp:389
+        pof, cnt = all_2d3d(st)
+        cnt = jnp.where(st.done, -1, cnt)
+        best = jnp.argmax(cnt).astype(jnp.int32)
+        n2d3d = cnt[best]
+        st = st._replace(done=st.done.at[best].set(True))   # SfM.cpp:389
 
-            # gather padded 2D-3D correspondences
-            hit = (pof[best, :F] >= 0).astype(jnp.float32)
-            _, sel = jax.lax.top_k(hit, PNP_CAP)
-            mask = hit[sel] > 0
-            pts = pof[best, sel]
-            X = st.xyz[jnp.clip(pts, 0, CAP)]
-            uv = feat_xy[best][sel]
-            K = self._K(st.focal)
-            Kinv = self._Kinv(st.focal)
-            kk = jax.random.fold_in(jax.random.fold_in(key, 1), it)
-            res = find_camera_pose_2d3d(
-                kk, X, uv, mask, K, Kinv,
-                threshold_px=cfg.pnp_threshold_px,
-                hypotheses=self.PNP_HYP,
-                min_inlier_ratio=cfg.pose_inliers_minimal_ratio)
-            n_corr = jnp.sum(mask)
-            inl = jnp.sum(res.inliers)
-            detR = jnp.linalg.det(res.Rt[:, :3])
-            pose_ok = (
-                res.ok
-                & (n2d3d >= 6)
-                # legacy inliers >= points/5 gate (MultiCameraPnP.cpp:287)
-                & (inl.astype(jnp.float32) >=
-                   cfg.min_pnp_inlier_fraction * n_corr.astype(jnp.float32))
-                # legacy runaway-translation gate (MultiCameraPnP.cpp:292)
-                & (jnp.linalg.norm(res.Rt[:, 3]) <= cfg.max_translation_norm)
-                # CheckCoherentRotation (FindCameraMatrices.cpp:113-142)
-                & (jnp.abs(detR - 1.0) <= 1e-2)
-            )
+        # gather padded 2D-3D correspondences
+        hit = (pof[best, :F] >= 0).astype(jnp.float32)
+        _, sel = jax.lax.top_k(hit, PNP_CAP)
+        mask = hit[sel] > 0
+        pts = pof[best, sel]
+        X = st.xyz[jnp.clip(pts, 0, CAP)]
+        uv = feat_xy[best][sel]
+        K = self._K(st.focal)
+        Kinv = self._Kinv(st.focal)
+        kk = jax.random.fold_in(jax.random.fold_in(key, 1), it)
+        res = find_camera_pose_2d3d(
+            kk, X, uv, mask, K, Kinv,
+            threshold_px=cfg.pnp_threshold_px,
+            hypotheses=self.PNP_HYP,
+            min_inlier_ratio=cfg.pose_inliers_minimal_ratio)
+        n_corr = jnp.sum(mask)
+        inl = jnp.sum(res.inliers)
+        detR = jnp.linalg.det(res.Rt[:, :3])
+        pose_ok = (
+            res.ok
+            & (n2d3d >= 6)
+            # legacy inliers >= points/5 gate (MultiCameraPnP.cpp:287)
+            & (inl.astype(jnp.float32) >=
+               cfg.min_pnp_inlier_fraction * n_corr.astype(jnp.float32))
+            # legacy runaway-translation gate (MultiCameraPnP.cpp:292)
+            & (jnp.linalg.norm(res.Rt[:, 3]) <= cfg.max_translation_norm)
+            # CheckCoherentRotation (FindCameraMatrices.cpp:113-142)
+            & (jnp.abs(detR - 1.0) <= 1e-2)
+        )
 
-            # triangulate vs every good view: matches pruned by the Sampson
-            # gate against the pose-derived E (replaces the reference's
-            # RANSAC re-estimation per pair, SfM.cpp:442-448)
-            def tri_one(g):
-                a = jnp.minimum(best, g)
-                b = jnp.maximum(best, g)
-                p = self._pair_row[a, b]
-                uv_a, uv_b = self._pair_uv(feat_xy, match_idx, p)
-                best_is_a = best < g
-                uv_n = jnp.where(best_is_a, uv_a, uv_b)
-                uv_g = jnp.where(best_is_a, uv_b, uv_a)
-                f_n = jnp.where(best_is_a, match_idx[p, :, 0], match_idx[p, :, 1])
-                f_g = jnp.where(best_is_a, match_idx[p, :, 1], match_idx[p, :, 0])
-                m = match_valid[p] & (g != best) & st.good[g]
-                E = essential_from_poses(res.Rt, st.poses[g])
-                x_n = camera.normalize_points(Kinv, uv_n)
-                x_g = camera.normalize_points(Kinv, uv_g)
-                epi = sampson_error(E, x_n, x_g) < (
-                    cfg.epipolar_prune_threshold_px / st.focal)
-                xyz, keep, e1, e2 = triangulate_views(
-                    res.Rt, st.poses[g], K, Kinv, uv_n, uv_g, m & epi,
-                    max_reprojection_error=cfg.min_reprojection_error,
-                    iterations=cfg.triangulation_iters,
-                    eps=cfg.triangulation_eps)
-                keep = self._adaptive_gate(e1, e2, keep)
-                return xyz, keep, f_n, f_g, g
+        # triangulate vs every good view: matches pruned by the Sampson
+        # gate against the pose-derived E (replaces the reference's
+        # RANSAC re-estimation per pair, SfM.cpp:442-448)
+        def tri_one(g):
+            a = jnp.minimum(best, g)
+            b = jnp.maximum(best, g)
+            p = self._pair_row[a, b]
+            uv_a, uv_b = self._pair_uv(feat_xy, match_idx, p)
+            best_is_a = best < g
+            uv_n = jnp.where(best_is_a, uv_a, uv_b)
+            uv_g = jnp.where(best_is_a, uv_b, uv_a)
+            f_n = jnp.where(best_is_a, match_idx[p, :, 0], match_idx[p, :, 1])
+            f_g = jnp.where(best_is_a, match_idx[p, :, 1], match_idx[p, :, 0])
+            m = match_valid[p] & (g != best) & st.good[g]
+            E = essential_from_poses(res.Rt, st.poses[g])
+            x_n = camera.normalize_points(Kinv, uv_n)
+            x_g = camera.normalize_points(Kinv, uv_g)
+            epi = sampson_error(E, x_n, x_g) < (
+                cfg.epipolar_prune_threshold_px / st.focal)
+            xyz, keep, e1, e2 = triangulate_views(
+                res.Rt, st.poses[g], K, Kinv, uv_n, uv_g, m & epi,
+                max_reprojection_error=cfg.min_reprojection_error,
+                iterations=cfg.triangulation_iters,
+                eps=cfg.triangulation_eps)
+            keep = self._adaptive_gate(e1, e2, keep)
+            return xyz, keep, f_n, f_g, g
 
-            tri = jax.vmap(tri_one)(jnp.arange(V))
+        tri = jax.vmap(tri_one)(jnp.arange(V))
 
-            def merge_slot(carry, slot):
-                st_c, tot = carry
-                xyz_s, keep_s, fn_s, fg_s, g_s = slot
-                st_c, n_new, n_mrg, n_drp = self._merge_points(
-                    st_c, xyz_s, keep_s & pose_ok, best, g_s, fn_s, fg_s,
-                    right_of, rdist, left_of, feat_xy)
-                return (st_c, tot + jnp.array([n_new, n_mrg, n_drp])), None
+        def merge_slot(carry, slot):
+            st_c, tot = carry
+            xyz_s, keep_s, fn_s, fg_s, g_s = slot
+            st_c, n_new, n_mrg, n_drp = self._merge_points(
+                st_c, xyz_s, keep_s & pose_ok, best, g_s, fn_s, fg_s,
+                right_of, rdist, left_of, feat_xy)
+            return (st_c, tot + jnp.array([n_new, n_mrg, n_drp])), None
 
-            st = st._replace(
-                poses=jnp.where(pose_ok, st.poses.at[best].set(res.Rt), st.poses),
-                pose_valid=st.pose_valid.at[best].set(pose_ok | st.pose_valid[best]),
-                good=st.good.at[best].set(pose_ok | st.good[best]),
-            )
-            (st, tots), _ = jax.lax.scan(merge_slot, (st, jnp.zeros((3,), jnp.int32)), tri)
-            st, (ba0, ba1, bait) = jax.lax.cond(
-                pose_ok,
-                lambda s: self._run_ba(
-                    s, feat_xy,
-                    max_iterations=cfg.ba_incremental_iterations,
-                    function_tolerance=cfg.ba_incremental_tolerance),
-                lambda s: (s, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))), st)
-            row = jnp.stack([
-                best.astype(jnp.float32), n2d3d.astype(jnp.float32),
-                res.inlier_ratio, pose_ok.astype(jnp.float32),
-                tots[0].astype(jnp.float32), tots[1].astype(jnp.float32),
-                tots[2].astype(jnp.float32), ba0, ba1, bait])
-            return st._replace(stats=st.stats.at[1 + it].set(row))
+        st = st._replace(
+            poses=jnp.where(pose_ok, st.poses.at[best].set(res.Rt), st.poses),
+            pose_valid=st.pose_valid.at[best].set(pose_ok | st.pose_valid[best]),
+            good=st.good.at[best].set(pose_ok | st.good[best]),
+        )
+        (st, tots), _ = jax.lax.scan(merge_slot, (st, jnp.zeros((3,), jnp.int32)), tri)
+        st, (ba0, ba1, bait) = jax.lax.cond(
+            pose_ok,
+            lambda s: self._run_ba(
+                s, feat_xy,
+                max_iterations=cfg.ba_incremental_iterations,
+                function_tolerance=cfg.ba_incremental_tolerance),
+            lambda s: (s, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))), st)
+        row = jnp.stack([
+            best.astype(jnp.float32), n2d3d.astype(jnp.float32),
+            res.inlier_ratio, pose_ok.astype(jnp.float32),
+            tots[0].astype(jnp.float32), tots[1].astype(jnp.float32),
+            tots[2].astype(jnp.float32), ba0, ba1, bait])
+        return st._replace(stats=st.stats.at[1 + it].set(row))
 
-        st = jax.lax.fori_loop(0, V - 2, add_view_body, st)
-
+    # ------------------------------------------------------------------ #
+    def _finish(self, st, seeded, feat_xy):
+        V, CAP = self.V, self.CAP
         # ---- final global polish BA: the per-view BAs above run on a small
         # incremental budget (they only have to keep the map consistent for
         # the next registration); the full-budget solve here is what the
@@ -708,6 +729,68 @@ class FusedEngine:
         )
 
     # ------------------------------------------------------------------ #
+    # parallel ahead-of-time compilation
+    # ------------------------------------------------------------------ #
+    def precompile_async(self):
+        """AOT-compile the six engine programs in parallel threads.
+
+        All shapes are static at construction, so every program can lower
+        and compile from ShapeDtypeStructs before any data exists. XLA
+        compilation releases the GIL, so the six compiles overlap with
+        each other AND with the detector/matcher compiles the first
+        reconstruction triggers — cold start becomes max(compile) instead
+        of sum(compile) (VERDICT r3 #5)."""
+        if self._compile_futures is not None:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        sd = jax.ShapeDtypeStruct
+        f32, i32 = jnp.float32, jnp.int32
+        bl = jnp.bool_
+        V, F, M, P, CAP = self.V, self.F, self.M, self.P, self.CAP
+        feat_xy = sd((V, F, 2), f32)
+        match_idx = sd((P, M, 2), i32)
+        match_valid = sd((P, M), bl)
+        match_dist = sd((P, M), f32)
+        ro = sd((P + 1, F + 1), i32)
+        rd = sd((P + 1, F + 1), f32)
+        hc = sd((P,), i32)
+        key = sd((2,), jnp.uint32)
+        focal = sd((), f32)
+        st = EngineState(
+            xyz=sd((CAP + 1, 3), f32), obs=sd((CAP + 1, V), i32),
+            feat2point=sd((V, F + 1), i32), n_points=sd((), i32),
+            poses=sd((V, 3, 4), f32), pose_valid=sd((V,), bl),
+            done=sd((V,), bl), good=sd((V,), bl), focal=sd((), f32),
+            stats=sd((V + 1, _STATS_COLS), f32))
+        jobs = {
+            "lookup": (self._jit_lookup, (match_idx, match_valid, match_dist)),
+            "homography": (self._jit_homography,
+                           (key, feat_xy, match_idx, match_valid)),
+            "prune": (self._jit_prune,
+                      (key, feat_xy, match_idx, match_valid, focal)),
+            "baseline": (self._jit_baseline,
+                         (feat_xy, match_idx, match_valid, ro, rd, ro, hc, key)),
+            "step": (self._jit_step,
+                     (st, sd((), i32), feat_xy, match_idx, match_valid,
+                      ro, rd, ro, key)),
+            "finish": (self._jit_finish, (st, sd((), bl), feat_xy)),
+        }
+        ex = ThreadPoolExecutor(max_workers=len(jobs))
+        self._compile_futures = {
+            k: ex.submit(lambda fn=fn, a=a: fn.lower(*a).compile())
+            for k, (fn, a) in jobs.items()
+        }
+        ex.shutdown(wait=False)
+
+    def _program(self, name, fallback):
+        """The AOT-compiled executable for `name` (blocking on its compile
+        thread), or the plain jit wrapper when precompile wasn't used."""
+        if self._compile_futures is None:
+            return fallback
+        return self._compile_futures[name].result()
+
+    # ------------------------------------------------------------------ #
     # host driver: a handful of async dispatches + ONE batched fetch
     # ------------------------------------------------------------------ #
     def run(self, gray_u8: np.ndarray, extract_fn, match_fn, seed: int = 0):
@@ -728,6 +811,7 @@ class FusedEngine:
                       flush=True)
 
         t0 = time.perf_counter()
+        self.precompile_async()   # overlaps with detector/matcher compiles
         key = jax.random.PRNGKey(seed)
         imgs = jax.device_put(gray_u8)
         feats = extract_fn(imgs.astype(jnp.float32) / 255.0)
@@ -742,23 +826,32 @@ class FusedEngine:
         _v("matching done")
 
         if self.cfg.epipolar_prune:
-            match_valid = self._jit_prune(
+            match_valid = self._program("prune", self._jit_prune)(
                 jax.random.fold_in(key, 7), feats.xy, match_idx, match_valid,
                 jnp.full((), self.f0, jnp.float32))
             jax.block_until_ready(match_valid)
         t3 = time.perf_counter()
         _v("prune done")
 
-        right_of, rdist, left_of = self._jit_lookup(match_idx, match_valid, match_dist)
-        h_counts = self._jit_homography(
+        right_of, rdist, left_of = self._program("lookup", self._jit_lookup)(
+            match_idx, match_valid, match_dist)
+        h_counts = self._program("homography", self._jit_homography)(
             jax.random.fold_in(key, 11), feats.xy, match_idx, match_valid)
         jax.block_until_ready(h_counts)
         t4 = time.perf_counter()
         _v("ranking done")
 
-        out = self._jit_solve(feats.xy, feats.valid, match_idx, match_valid,
-                              match_dist, right_of, rdist, left_of, h_counts,
-                              jax.random.fold_in(key, 13))
+        solve_key = jax.random.fold_in(key, 13)
+        st, seeded = self._program("baseline", self._jit_baseline)(
+            feats.xy, match_idx, match_valid, right_of, rdist, left_of,
+            h_counts, solve_key)
+        step = self._program("step", self._jit_step)
+        for it in range(self.V - 2):
+            # purely-async dispatch: `it` rides as a device scalar so all
+            # V-2 steps share one executable and nothing syncs the host
+            st = step(st, jnp.int32(it), feats.xy, match_idx,
+                      match_valid, right_of, rdist, left_of, solve_key)
+        out = self._program("finish", self._jit_finish)(st, seeded, feats.xy)
         jax.block_until_ready(out["n_points"])
         t5 = time.perf_counter()
         _v("solve done")
