@@ -53,6 +53,19 @@ REPROJ_GATE = 10.0            # MIN_REPROJECTION_ERROR (SfMStereoUtilities.cpp:4
 def _reenact(image_dir: str, downscale: float, n_features: int) -> dict:
     import cv2
 
+    # Deterministic RANSAC: unseeded cv2 runs flip between 6- and
+    # 7-camera reconstructions of crazyhorse (~86-132 px) run to run.
+    # NOTE the ~100 px landing zone is NOT a solver-budget artifact: with
+    # the analytic-Jacobian BA run to ftol=1e-6 convergence under the
+    # reference's 10 s/call cap, two independent runs still landed at
+    # 86.8 px (7 cams) and 131.9 px (6 cams). The reference pipeline has
+    # no robust loss (SfMBundleAdjustmentUtils.cpp:58-97) and merges
+    # tracks on descriptor distance alone without a reprojection check
+    # (SfM.cpp:566-587), so wrong merges drag the unrobust global BA —
+    # that is the algorithm's quality ceiling at the hardcoded f=2500,
+    # not a crippled stand-in.
+    cv2.setRNGSeed(7)
+
     t_start = time.perf_counter()
     stage = {}
 
@@ -180,7 +193,6 @@ def _reenact(image_dir: str, downscale: float, n_features: int) -> dict:
         """Global BA over all registered cameras + points + shared focal
         (SfMBundleAdjustmentUtils.cpp:99-222), scipy sparse-Jacobian trf."""
         from scipy.optimize import least_squares
-        from scipy.sparse import lil_matrix
 
         cams = sorted(good)
         if not cams or not cloud_xyz:
@@ -217,26 +229,61 @@ def _reenact(image_dir: str, downscale: float, n_features: int) -> dict:
                 r[sel] = (pc[:, :2] / np.maximum(pc[:, 2:3], 1e-9)) * foc - uv[sel]
             return r.ravel()
 
-        A = lil_matrix((2 * len(obs_list), len(x0)), dtype=int)
-        rows = np.arange(len(obs_list))
-        for k in range(2):
-            for d in range(6):
-                A[2 * rows + k, 6 * cidx + d] = 1
-            for d in range(3):
-                A[2 * rows + k, 6 * nC + 3 * pidx + d] = 1
-            A[2 * rows + k, -1] = 1
-        # Ceres-equivalent budget: solve to ftol=1e-6 under the reference's
-        # 10 s wall cap per BA call (SfMBundleAdjustmentUtils.cpp:172-176,
-        # <=500 iters / eta 1e-2 / 10 s). scipy has no wall-clock option,
-        # so run in max_nfev slices and warm-start until converged or the
-        # cap is spent — NOT the earlier crippled ftol=1e-3/max_nfev=30,
-        # which left the baseline at ~100 px and made the quality anchor
-        # meaningless.
+        def jac(x):
+            """Analytic sparse Jacobian — the Ceres parity point: Ceres
+            autodiffs the residual (SfMBundleAdjustmentUtils.cpp:92), so
+            every LM iteration costs one residual + one Jacobian sweep.
+            scipy's jac_sparsity finite differences need ~a dozen residual
+            sweeps per iteration, which starved the 10 s wall cap and left
+            the 'converged-budget' baseline at >100 px."""
+            from scipy.sparse import csr_matrix
+
+            pts = x[6 * nC: 6 * nC + 3 * nP].reshape(-1, 3)
+            foc = x[-1]
+            nO = len(obs_list)
+            rows_ = np.broadcast_to(np.arange(2 * nO).reshape(nO, 2, 1),
+                                    (nO, 2, 10))
+            data = np.zeros((nO, 2, 10))
+            cols = np.zeros((nO, 2, 10), int)
+            for c in range(nC):
+                sel = np.nonzero(cidx == c)[0]
+                rvec = x[6 * c: 6 * c + 3]
+                Rm, dRdr = cv2.Rodrigues(rvec)   # dRdr: (3, 9) dR/drvec
+                X = pts[pidx[sel]]
+                pc = X @ Rm.T + x[6 * c + 3: 6 * c + 6]
+                z = np.maximum(pc[:, 2], 1e-9)
+                px, py = pc[:, 0], pc[:, 1]
+                # d r / d pc  (2, 3) per obs
+                drdpc = np.zeros((len(sel), 2, 3))
+                drdpc[:, 0, 0] = foc / z
+                drdpc[:, 0, 2] = -foc * px / z ** 2
+                drdpc[:, 1, 1] = foc / z
+                drdpc[:, 1, 2] = -foc * py / z ** 2
+                # d pc / d rvec: (3, 3) per obs from the (3, 9) Rodrigues jac
+                # cv2 convention: dRdr[k] = dR.flatten-by-rows/drvec_k
+                dRdr9 = dRdr.reshape(3, 3, 3)    # (k, i, j)
+                dpcdr = np.einsum("kij,oj->oik", dRdr9, X)  # (o, 3, 3)
+                data[sel, :, 0:3] = drdpc @ dpcdr           # d r/d rvec
+                data[sel, :, 3:6] = drdpc                   # d r/d t
+                data[sel, :, 6:9] = drdpc @ Rm              # d r/d X
+                data[sel, :, 9] = np.stack([px / z, py / z], 1)  # d r/d f
+                cols[sel, :, 0:3] = 6 * c + np.arange(3)
+                cols[sel, :, 3:6] = 6 * c + 3 + np.arange(3)
+                cols[sel, :, 6:9] = (6 * nC + 3 * pidx[sel])[:, None, None] \
+                    + np.arange(3)
+                cols[sel, :, 9] = len(x) - 1
+            return csr_matrix((data.ravel(), (rows_.ravel(), cols.ravel())),
+                              shape=(2 * nO, len(x)))
+
+        # Ceres-equivalent budget (SfMBundleAdjustmentUtils.cpp:172-176):
+        # analytic-Jacobian TRF to ftol=1e-6, <=500 iters, under the
+        # reference's 10 s wall cap (run in warm-started slices; scipy has
+        # no wall-clock option).
         t_ba = time.perf_counter()
         x = x0
         while True:
-            sol = least_squares(resid, x, jac_sparsity=A, method="trf",
-                                x_scale="jac", ftol=1e-6, max_nfev=25)
+            sol = least_squares(resid, x, jac=jac, method="trf",
+                                x_scale="jac", ftol=1e-6, max_nfev=50)
             x = sol.x
             if sol.status != 0:          # converged (ftol/xtol/gtol), not cap
                 break
@@ -352,7 +399,13 @@ def _reenact(image_dir: str, downscale: float, n_features: int) -> dict:
         "frames_per_s": V / total,
         "n_points": len(cloud_xyz),
         "n_cameras": sum(p is not None for p in poses.values()),
+        # mean is outlier-dominated: neither the reference's Ceres cost
+        # (SfMBundleAdjustmentUtils.cpp:58-97) nor this reenactment uses a
+        # robust loss, and mergeNewPointCloud chains descriptor-confirmed
+        # observations without a reprojection check (SfM.cpp:566-587) —
+        # report the median alongside for an honest quality anchor
         "mean_reproj_px": float(np.mean(errs)) if errs else float("nan"),
+        "median_reproj_px": float(np.median(errs)) if errs else float("nan"),
         "n_features": n_features,
     }
 
@@ -360,9 +413,11 @@ def _reenact(image_dir: str, downscale: float, n_features: int) -> dict:
 def measure_reference_baseline(image_dir: str, downscale: float = 1.0,
                                n_features: int = 5000,
                                force: bool = False) -> dict:
-    # v2: converged-BA budget (ftol 1e-6 / 10 s wall cap) — older cache
-    # entries measured the crippled ftol=1e-3/max_nfev=30 baseline
-    key = f"{os.path.abspath(image_dir)}@{downscale}@orb{n_features}@bav2"
+    # v3: analytic-Jacobian converged BA (Ceres autodiff parity) — v2's
+    # finite-difference "converged budget" starved the 10 s wall cap and
+    # produced a 145 px / 6-camera baseline; v1 was the crippled
+    # ftol=1e-3/max_nfev=30 run
+    key = f"{os.path.abspath(image_dir)}@{downscale}@orb{n_features}@bav4"
     if os.path.exists(_CACHE) and not force:
         cache = json.load(open(_CACHE))
         if key in cache:

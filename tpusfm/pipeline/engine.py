@@ -739,7 +739,18 @@ class FusedEngine:
         compilation releases the GIL, so the six compiles overlap with
         each other AND with the detector/matcher compiles the first
         reconstruction triggers — cold start becomes max(compile) instead
-        of sum(compile) (VERDICT r3 #5)."""
+        of sum(compile) (VERDICT r3 #5).
+
+        OPT-IN (TPUSFM_AOT_PRECOMPILE=1): on the axon-tunneled bench
+        device the AOT .lower().compile() path routes through a chipless
+        remote compiler that re-initializes per program and serializes —
+        measured 7x SLOWER cold than letting the runtime compile the
+        same programs at first call. On a directly-attached TPU the
+        parallel path is the right one."""
+        import os as _os
+
+        if not _os.environ.get("TPUSFM_AOT_PRECOMPILE"):
+            return
         if self._compile_futures is not None:
             return
         from concurrent.futures import ThreadPoolExecutor
