@@ -9,9 +9,16 @@ index directly in the (VMEM-resident) output blocks across grid steps,
 and never writes the distance matrix — arithmetic stays on the MXU and
 HBM traffic drops from O(F^2) to O(F*D).
 
-Grid: (P pairs, F2/TJ tiles). TPU grids execute sequentially per core and
-an output block whose index map is constant along a grid axis stays
+Grid: (P pairs, F1/TI, F2/TJ). TPU grids execute sequentially per core
+and an output block whose index map is constant along a grid axis stays
 resident in VMEM across those steps — the standard accumulator pattern.
+
+TRANSPOSED distance tile: the per-tile distances are computed as
+(TJ, TI) = d2_tile · d1_tileᵀ, NOT (TI, TJ). The top-2 reduction then
+runs over axis 0 — the SUBLANE direction — where the VPU reduces with
+cheap register trees; reducing across the 128-wide LANE direction costs
+log2(128) cross-lane shuffles per step and measured 5x slower end to
+end (663 -> 3643 pairs/s @ 5120 feats with the int8 MXU path).
 """
 from __future__ import annotations
 
@@ -25,55 +32,24 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e9
 
 
-def _matcher_kernel(d1_ref, d2_ref, v2_ref, best_ref, second_ref, idx_ref,
-                    *, tj: int, bits: int):
-    j = pl.program_id(2)
+def _make_kernel(ti: int, tj: int, bits: int, use_int8: bool):
+    """Streaming top-2 kernel closure (transposed orientation).
 
-    @pl.when(j == 0)
-    def _():
-        best_ref[0, 0, :] = jnp.full((best_ref.shape[-1],), _BIG, jnp.float32)
-        second_ref[0, 0, :] = jnp.full((second_ref.shape[-1],), _BIG, jnp.float32)
-        idx_ref[0, 0, :] = jnp.zeros((idx_ref.shape[-1],), jnp.int32)
-
-    # (F1, TJ) Hamming distances via one MXU matmul on +-1 descriptors
-    # (desc2 arrives pre-transposed as (D, TJ): Mosaic wants plain (M,K)@(K,N);
-    # f32 operands — this Mosaic build rejects bf16 tpu.matmul)
-    dots = jnp.dot(d1_ref[0], d2_ref[0], preferred_element_type=jnp.float32)
-    dist = 0.5 * (bits - dots)
-    vtile = v2_ref[0, 0, pl.ds(j * tj, tj)]
-    dist = jnp.where(vtile[None, :] > 0.5, dist, _BIG)
-
-    # per-row top-2 within this tile
-    t1 = jnp.min(dist, axis=1)                                   # (F1,)
-    arg = jnp.argmin(dist, axis=1)                               # (F1,)
-    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    dist2 = jnp.where(cols == arg[:, None], _BIG, dist)
-    t2 = jnp.min(dist2, axis=1)                                  # (F1,)
-    tidx = (j * tj + arg).astype(jnp.int32)                      # (F1,)
-
-    # merge running (best, second, idx) with this tile's (t1, t2, tidx)
-    b = best_ref[0, 0, :]
-    s = second_ref[0, 0, :]
-    bi = idx_ref[0, 0, :]
-    best_ref[0, 0, :] = jnp.minimum(b, t1)
-    second_ref[0, 0, :] = jnp.minimum(jnp.maximum(b, t1), jnp.minimum(s, t2))
-    idx_ref[0, 0, :] = jnp.where(t1 < b, tidx, bi)
-
-
-def _make_int8_kernel(ti: int, tj: int, bits: int):
-    """int8 kernel variant: ±1 descriptors as int8 feed the MXU at its
-    int8 rate (4-8x the f32 passes on v5e); Hamming distances are exact
-    integers so the match outputs are bit-identical to the f32 kernel
+    use_int8: ±1 descriptors as int8 feed the MXU at its int8 rate
+    (4-8x the f32 passes on v5e); Hamming distances are exact integers
+    either way, so the two dtypes produce bit-identical match outputs
     (argmin tie-breaking picks the first minimum in both).
 
-    Two Mosaic quirks shape this form (found by bisecting against this
-    build's remote compiler, which rejects superficially-equivalent
-    variants with "Bad lhs type"):
-      * d2 arrives UN-transposed as (TJ, D) blocks and the contraction is
-        last-dim x last-dim via dot_general — the XLA-side swapaxes the
-        f32 path uses feeds a layout the i8 matmul can't consume;
-      * the i32 matmul result must flow straight into a convert, and the
-        tile constants are baked as closure literals.
+    Mosaic quirks that shape this form (bisected against this build's
+    remote compiler, which rejects superficially-equivalent variants):
+      * the i8 matmul must pin precision=DEFAULT — the package-global
+        jax_default_matmul_precision="highest" (tpusfm/__init__.py)
+        would stamp contract_precision<fp32> onto it ("Bad lhs type");
+      * d2 arrives UN-transposed as (TJ, D) blocks and the contraction
+        is last-dim x last-dim via dot_general, keeping both operands in
+        their natural layout;
+      * the i32 matmul result must flow straight into a convert, and
+        the tile constants are baked as closure literals.
     """
 
     def kern(a, b, v, best, second, idx):
@@ -81,27 +57,35 @@ def _make_int8_kernel(ti: int, tj: int, bits: int):
 
         @pl.when(j == 0)
         def _():
-            best[0, 0, :] = jnp.full((ti,), 1e9, jnp.float32)
-            second[0, 0, :] = jnp.full((ti,), 1e9, jnp.float32)
+            best[0, 0, :] = jnp.full((ti,), _BIG, jnp.float32)
+            second[0, 0, :] = jnp.full((ti,), _BIG, jnp.float32)
             idx[0, 0, :] = jnp.zeros((ti,), jnp.int32)
 
-        # precision pinned to DEFAULT: the package-global
-        # jax_default_matmul_precision="highest" (tpusfm/__init__.py)
-        # would stamp contract_precision<fp32> onto this i8 matmul, which
-        # Mosaic rejects ("Bad lhs type"); integer matmuls are exact at
-        # any precision setting
-        dots = jax.lax.dot_general(
-            a[0], b[0], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-            precision=jax.lax.Precision.DEFAULT)
-        dist = 0.5 * (bits - dots.astype(jnp.float32))
+        if use_int8:
+            dots = jax.lax.dot_general(
+                b[0], a[0], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)        # (TJ, TI)
+            dist = 0.5 * (bits - dots.astype(jnp.float32))
+        else:
+            # f32 needs HIGHEST: DEFAULT may run bf16 passes on the MXU
+            # and ±1 dot products must stay exact integers
+            dots = jax.lax.dot_general(
+                b[0], a[0], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)        # (TJ, TI)
+            dist = 0.5 * (bits - dots)
         vt = v[0, 0, pl.ds(j * tj, tj)]
-        dist = jnp.where(vt[None, :] > 0, dist, 1e9)
-        t1 = jnp.min(dist, axis=1)
-        arg = jnp.argmin(dist, axis=1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-        t2 = jnp.min(jnp.where(cols == arg[:, None], 1e9, dist), axis=1)
+        dist = jnp.where(vt[:, None] > 0, dist, _BIG)       # (TJ, TI)
+
+        # per-column top-2 within this tile: axis 0 = sublanes = cheap
+        t1 = jnp.min(dist, axis=0)                          # (TI,)
+        arg = jnp.argmin(dist, axis=0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0)
+        t2 = jnp.min(jnp.where(rows == arg[None, :], _BIG, dist), axis=0)
         tidx = (j * tj + arg).astype(jnp.int32)
+
+        # merge running (best, second, idx) with this tile's (t1, t2)
         bb = best[0, 0, :]
         ss = second[0, 0, :]
         bi = idx[0, 0, :]
@@ -128,31 +112,19 @@ def match_topk2_pallas(desc1: jnp.ndarray, desc2: jnp.ndarray,
     """
     P, F1, D = desc1.shape
     F2 = desc2.shape[1]
-    TJ = 256
-    TI = min(F1, 1024)   # tile the query axis too: VMEM holds ~3 MB/step
+    TJ = 512 if F2 % 512 == 0 else 256
+    TI = min(F1, 1024)   # tile the query axis too: bounds VMEM per step
     assert F2 % TJ == 0, f"F2={F2} must be a multiple of {TJ}"
     assert F1 % TI == 0, f"F1={F1} must be a multiple of {TI}"
 
-    if use_int8:
-        kernel = _make_int8_kernel(TI, TJ, D)
-        d1 = desc1.astype(jnp.int8)
-        d2t = desc2.astype(jnp.int8)      # un-transposed (P, F2, D)
-        v2 = valid2.astype(jnp.int32)[:, None, :]
-        d2spec = pl.BlockSpec((1, TJ, D), lambda p, i, j: (p, j, 0),
-                              memory_space=pltpu.VMEM)
-    else:
-        kernel = functools.partial(_matcher_kernel, tj=TJ, bits=D)
-        d1 = desc1.astype(jnp.float32)
-        d2t = jnp.swapaxes(desc2.astype(jnp.float32), 1, 2)
-        v2 = valid2.astype(jnp.float32)[:, None, :]
-        d2spec = pl.BlockSpec((1, D, TJ), lambda p, i, j: (p, 0, j),
-                              memory_space=pltpu.VMEM)
+    kernel = _make_kernel(TI, TJ, D, use_int8)
+    dt = jnp.int8 if use_int8 else jnp.float32
     out = pl.pallas_call(
         kernel,
         grid=(P, F1 // TI, F2 // TJ),
         in_specs=[
             pl.BlockSpec((1, TI, D), lambda p, i, j: (p, i, 0), memory_space=pltpu.VMEM),
-            d2spec,
+            pl.BlockSpec((1, TJ, D), lambda p, i, j: (p, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, F2), lambda p, i, j: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -167,7 +139,7 @@ def match_topk2_pallas(desc1: jnp.ndarray, desc2: jnp.ndarray,
             jax.ShapeDtypeStruct((P, 1, F1), jnp.int32),
         ],
         interpret=interpret,
-    )(d1, d2t, v2)
+    )(desc1.astype(dt), desc2.astype(dt), valid2.astype(jnp.int32)[:, None, :])
     return out[0][:, 0], out[1][:, 0], out[2][:, 0]
 
 
