@@ -413,10 +413,10 @@ def _reenact(image_dir: str, downscale: float, n_features: int) -> dict:
 def measure_reference_baseline(image_dir: str, downscale: float = 1.0,
                                n_features: int = 5000,
                                force: bool = False) -> dict:
-    # v3: analytic-Jacobian converged BA (Ceres autodiff parity) — v2's
-    # finite-difference "converged budget" starved the 10 s wall cap and
-    # produced a 145 px / 6-camera baseline; v1 was the crippled
-    # ftol=1e-3/max_nfev=30 run
+    # v4: analytic-Jacobian converged BA (Ceres autodiff parity), seeded —
+    # v3's analytic run was unseeded; v2's finite-difference "converged
+    # budget" starved the 10 s wall cap and produced a 145 px / 6-camera
+    # baseline; v1 was the crippled ftol=1e-3/max_nfev=30 run
     key = f"{os.path.abspath(image_dir)}@{downscale}@orb{n_features}@bav4"
     if os.path.exists(_CACHE) and not force:
         cache = json.load(open(_CACHE))

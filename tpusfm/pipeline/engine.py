@@ -721,9 +721,13 @@ class FusedEngine:
         err = jnp.linalg.norm(r, axis=-1)
         mean_err = jnp.sum(jnp.where(w, err, 0.0)) / jnp.maximum(jnp.sum(w), 1)
 
+        # xyz/obs are returned FULL-SIZE (CAP+1, incl. the trash row):
+        # slicing to CAP here would break the donate_argnums=(0,) aliasing
+        # of the two largest state buffers (a (CAP,·) output can never
+        # reuse a (CAP+1,·) input) — the host slices after the fetch.
         return dict(
             poses=st.poses, pose_valid=st.pose_valid,
-            xyz=st.xyz[:CAP], obs=st.obs[:CAP], n_points=st.n_points,
+            xyz=st.xyz, obs=st.obs, n_points=st.n_points,
             focal=st.focal, stats=st.stats, mean_err=mean_err,
             seeded=seeded,
         )
