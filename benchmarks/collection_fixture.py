@@ -26,7 +26,8 @@ _PATCH = 7  # splat half-size in pixels (covers 3 sigma of the largest dots)
 
 def make_collection_textured(n_views: int = 500, h: int = 192, w: int = 256,
                              focal: float = 300.0, orbit_radius: float = 6.0,
-                             wall_radius: float = 10.0, seed: int = 0):
+                             wall_radius: float = 10.0, relief_amp: float = 1.2,
+                             seed: int = 0):
     """Textured orbit collection: cameras on a ring INSIDE a cylinder of
     band-limited lattice-noise texture (benchmarks/strecha_fixture.py's
     masonry-style noise), looking outward, plus a textured ground plane.
@@ -36,6 +37,14 @@ def make_collection_textured(n_views: int = 500, h: int = 192, w: int = 256,
     of BASELINE config 4/5 with sub-pixel-localizable texture (gaussian
     dot fields cap detector accuracy at ~1 px and match recall at ~20%,
     which makes them smoke-test fixtures, not benchmark fixtures).
+
+    relief_amp displaces the wall radially by band-limited noise (true
+    surface, intersected iteratively — NOT a texture warp): a perfectly
+    smooth cylinder is locally planar, which makes every PnP
+    quasi-degenerate (the pose slides along the plane-pose ambiguity at
+    sub-pixel reprojection cost — measured 0.34 px median at 0.28x the
+    true camera step) and no incremental pipeline can hold scale. Real
+    photo-collection scenes have depth relief; the benchmark should too.
 
     Returns (images (V,H,W) f32, poses (V,3,4), K (3,3)).
     """
@@ -91,9 +100,23 @@ def make_collection_textured(n_views: int = 500, h: int = 192, w: int = 256,
         # positive root always exists)
         a = d[:, 0] ** 2 + d[:, 2] ** 2
         b = 2.0 * (o[0] * d[:, 0] + o[2] * d[:, 2])
-        c = o[0] ** 2 + o[2] ** 2 - wall_radius ** 2
-        disc = np.maximum(b * b - 4 * a * c, 0.0)
-        t_wall = (-b + np.sqrt(disc)) / np.maximum(2 * a, 1e-12)
+
+        def cyl_hit(radius):
+            c = o[0] ** 2 + o[2] ** 2 - radius ** 2
+            disc = np.maximum(b * b - 4 * a * c, 0.0)
+            return (-b + np.sqrt(disc)) / np.maximum(2 * a, 1e-12)
+
+        t_wall = cyl_hit(wall_radius)
+        if relief_amp > 0.0:
+            # displaced surface r(theta, y) = R + amp * noise: fixed-point
+            # refinement of the ray/surface intersection (amp << R so 3
+            # sweeps land well under a pixel) — a real 3D surface seen
+            # consistently from every view, not a per-view warp
+            for _ in range(3):
+                Xw = o[None, :] + t_wall[:, None] * d
+                bump = relief_amp * 2.0 * (
+                    _value_noise3(Xw, 0.55, s + 9) - 0.5)
+                t_wall = cyl_hit(wall_radius + bump)
         # ground plane y = +3 (y points down in the camera convention)
         t_gnd = np.where(d[:, 1] > 1e-9, (3.0 - o[1]) / d[:, 1], np.inf)
         t_hit = np.minimum(t_wall, t_gnd)

@@ -137,3 +137,74 @@ def test_sparse_ba_scale_smoke():
     )
     sol, summary = lm_solve_sparse(prob, max_iterations=3, cg_iterations=16)
     assert float(summary.final_cost) < float(summary.initial_cost)
+
+
+def test_sparse_huber_resists_gross_outliers():
+    """A Huber (IRLS) solve must land near the clean optimum even when a
+    slice of observations carries gross structured error — the
+    loop-closure regime the collection pipeline hits (drifted closure
+    observations arrive with tens of px of residual; a quadratic loss
+    lets them drag the whole solve)."""
+    prob, pts, Rt, intr, _ = _build_sparse(noise_cam=0.005, noise_pt=0.02)
+    rng = np.random.default_rng(7)
+    uv = np.asarray(prob.uv)
+    n = len(uv)
+    bad = rng.uniform(size=n) < 0.15
+    uv_bad = uv + np.where(bad[:, None], 40.0 + 20.0 * rng.standard_normal((n, 2)), 0.0)
+    prob_bad = prob._replace(uv=jnp.asarray(uv_bad, jnp.float32))
+
+    sol_q, _ = lm_solve_sparse(prob_bad, max_iterations=60)
+    sol_h, _ = lm_solve_sparse(prob_bad, max_iterations=60, huber_delta=3.0)
+
+    def mean_err(sol):
+        R = camera.rodrigues_to_matrix_b(sol.cams[:, :3])
+        errs = []
+        for v in range(Rt.shape[0]):
+            Rtv = jnp.concatenate([R[v], sol.cams[v, 3:, None]], axis=1)
+            proj = camera.project_points(Rtv, intr.K, sol.points)
+            gt = fixtures.project(Rt[v], pts, intr)
+            sel = (np.asarray(prob.cam_idx) == v) & ~bad
+            errs.append(np.linalg.norm(
+                np.asarray(proj)[np.asarray(prob.pt_idx)[sel]]
+                - np.asarray(gt)[np.asarray(prob.pt_idx)[sel]], axis=1))
+        return float(np.mean(np.concatenate(errs)))
+
+    e_huber = mean_err(sol_h)
+    e_quad = mean_err(sol_q)
+    # Huber is bounded-influence, not rejection: each outlier still pulls
+    # linearly at delta, so the robust optimum sits a few px off — but an
+    # order of magnitude closer than the quadratic solve (measured ~5.5
+    # vs ~27.5 on this fixture)
+    assert e_huber < 8.0, e_huber
+    assert e_huber < e_quad * 0.33, (e_huber, e_quad)
+
+    # the pipeline's full cycle is iterated solve -> prune(>gate) ->
+    # re-solve (collection.py _ba/_prune_observations): trimming at the
+    # robust optimum and re-solving must land at the clean optimum
+    def residuals(sol):
+        R = camera.rodrigues_to_matrix_b(sol.cams[:, :3])
+        pred = []
+        for v in range(Rt.shape[0]):
+            Rtv = jnp.concatenate([R[v], sol.cams[v, 3:, None]], axis=1)
+            pc = np.asarray(camera.transform_points(Rtv, sol.points))
+            pred.append(pc[:, :2] / pc[:, 2:] * float(sol.focal))
+        pred = np.stack(pred, 0)  # (V, N, 2)
+        return np.linalg.norm(
+            pred[np.asarray(prob.cam_idx), np.asarray(prob.pt_idx)]
+            - np.asarray(prob_bad.uv), axis=1)
+
+    sol_t = sol_h
+    w_trim = np.asarray(prob_bad.w)
+    for thr in (9.0, 4.5):
+        w_trim = w_trim * (residuals(sol_t) < thr)
+        sol_t, _ = lm_solve_sparse(
+            prob_bad._replace(w=jnp.asarray(w_trim, jnp.float32)),
+            max_iterations=60, huber_delta=3.0)
+    # the injected shift is 40+20*N(0,1) px so a few land near the inlier
+    # band (sub-threshold outliers are indistinguishable from noise by
+    # construction); the gross majority must be identified and the
+    # trimmed re-solve must improve on the bounded-influence optimum
+    assert (w_trim[bad] == 0).mean() > 0.8
+    e_trim = mean_err(sol_t)
+    assert e_trim < 2.0, e_trim
+    assert e_trim < e_huber, (e_trim, e_huber)

@@ -112,3 +112,66 @@ def test_collection_end_to_end_sharded(cpu_mesh):
     assert rec.mean_reprojection_error < 1.5
     assert rec.num_points > 150
     assert rec.stats["ba_iters"] > 0
+
+
+def test_multiview_triangulation_kernel():
+    """The N-view DLT+GN triangulation must recover points exactly from
+    clean multi-view observations, honor the mask, and reject
+    low-parallax and high-residual candidates."""
+    import jax.numpy as jnp
+
+    from tpusfm import SfMConfig
+    from tpusfm.types import Intrinsics
+
+    rng = np.random.default_rng(0)
+    f, cx, cy = 300.0, 64.0, 48.0
+    Km = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1]], np.float32)
+    cfg = SfMConfig(min_triangulation_angle_deg=1.5, console_debug_level=5)
+    pipe = CollectionPipeline(np.zeros((2, 8, 8), np.float32), cfg,
+                              intrinsics=Intrinsics.create(f, cx, cy))
+    KT = pipe._tri_k
+
+    pts = np.stack([rng.uniform(-2, 2, 64), rng.uniform(-2, 2, 64),
+                    rng.uniform(8, 14, 64)], 1).astype(np.float32)
+    poses = []
+    for k in range(KT):
+        th = 0.06 * k
+        c, s = np.cos(th), np.sin(th)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        t = np.array([-0.8 * k, 0.0, 0.05 * k], np.float32)
+        poses.append(np.concatenate([R, t[:, None]], 1))
+    poses = np.stack(poses)                              # (K, 3, 4)
+
+    B = 64
+    Rt = np.broadcast_to(poses, (B, KT, 3, 4)).copy()
+    uv = np.zeros((B, KT, 2), np.float32)
+    for k in range(KT):
+        pc = pts @ poses[k][:, :3].T + poses[k][:, 3]
+        uv[:, k] = pc[:, :2] / pc[:, 2:] * f + [cx, cy]
+    msk = np.ones((B, KT), np.float32)
+    msk[:, KT // 2:] *= (rng.uniform(size=(B, KT - KT // 2)) < 0.7)
+    msk[0, 2:] = 0.0                                     # 2-view row
+
+    X, keep = pipe._jit_tri_multi(jnp.asarray(Rt), jnp.asarray(uv),
+                                  jnp.asarray(msk), jnp.asarray(Km),
+                                  jnp.asarray(np.linalg.inv(Km)))
+    X, keep = np.asarray(X), np.asarray(keep)
+    assert keep.mean() > 0.9
+    assert np.abs(X[keep] - pts[keep]).max() < 1e-2
+
+    # corrupt one observation far beyond the gate -> rejected
+    uv_bad = uv.copy()
+    uv_bad[:, 1] += 35.0
+    _, keep_bad = pipe._jit_tri_multi(jnp.asarray(Rt), jnp.asarray(uv_bad),
+                                      jnp.asarray(msk), jnp.asarray(Km),
+                                      jnp.asarray(np.linalg.inv(Km)))
+    assert not np.asarray(keep_bad).any()
+
+    # zero-baseline cameras -> parallax gate rejects
+    Rt0 = np.broadcast_to(poses[0], (B, KT, 3, 4)).copy()
+    uv0 = np.broadcast_to(uv[:, 0:1], (B, KT, 2)).copy()
+    _, keep0 = pipe._jit_tri_multi(jnp.asarray(Rt0), jnp.asarray(uv0),
+                                   jnp.asarray(np.ones((B, KT), np.float32)),
+                                   jnp.asarray(Km),
+                                   jnp.asarray(np.linalg.inv(Km)))
+    assert not np.asarray(keep0).any()

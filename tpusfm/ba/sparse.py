@@ -64,9 +64,29 @@ def _all_residuals(cams, points, focal, prob: SparseBAProblem):
     return jax.vmap(one)(prob.cam_idx, prob.pt_idx, prob.uv)
 
 
-def _cost(cams, points, focal, prob: SparseBAProblem):
+def _cost(cams, points, focal, prob: SparseBAProblem,
+          huber_delta: float = 0.0):
     r = _all_residuals(cams, points, focal, prob)
-    return 0.5 * jnp.sum(prob.w[:, None] * r * r)
+    if huber_delta <= 0.0:
+        return 0.5 * jnp.sum(prob.w[:, None] * r * r)
+    # robust cost over the 2D residual norm: rho(e) = e^2/2 for e <= d,
+    # d*(e - d/2) beyond — large residuals (e.g. loop-closure
+    # observations under drifted poses) keep pulling linearly instead of
+    # dominating quadratically or being discarded
+    e2 = jnp.sum(r * r, axis=1)
+    e = jnp.sqrt(e2 + _EPS)
+    rho = jnp.where(e <= huber_delta, 0.5 * e2,
+                    huber_delta * (e - 0.5 * huber_delta))
+    return jnp.sum(prob.w * rho)
+
+
+def _huber_w(prob: SparseBAProblem, huber_delta: float):
+    """IRLS weights at the current state: w * min(1, delta/||r||)."""
+    if huber_delta <= 0.0:
+        return prob.w
+    r = _all_residuals(prob.cams, prob.points, prob.focal, prob)
+    e = jnp.sqrt(jnp.sum(r * r, axis=1) + _EPS)
+    return prob.w * jnp.minimum(1.0, huber_delta / e)
 
 
 def _obs_jacobians(prob: SparseBAProblem):
@@ -114,12 +134,15 @@ def _pcg(matvec, precond, b_c, b_f, iters: int):
 
 
 def _lm_step_sparse(prob: SparseBAProblem, lam, share_focal: bool,
-                    cg_iterations: int, axis_name: str | None = None):
+                    cg_iterations: int, axis_name: str | None = None,
+                    huber_delta: float = 0.0):
     """One damped Schur solve with implicit (matrix-free) camera system."""
     V = prob.cams.shape[0]
     N = prob.points.shape[0]
     r, Jc, Jp, Jf = _obs_jacobians(prob)
-    w = prob.w
+    # IRLS: the robust loss enters as per-observation reweighting of the
+    # Gauss-Newton system, recomputed at every LM step [Triggs'00 §3.3]
+    w = _huber_w(prob, huber_delta)
     wJc = Jc * w[:, None, None]
     wJp = Jp * w[:, None, None]
     wJf = Jf * w[:, None]
@@ -225,10 +248,12 @@ def lm_solve_sparse(
     share_focal: bool = True,
     cg_iterations: int = 32,
     axis_name: str | None = None,
+    huber_delta: float = 0.0,
 ):
     """LM driver over the sparse problem — same accept/reject and
-    termination semantics as ba/lm.py lm_solve."""
-    cost0 = _cost(prob.cams, prob.points, prob.focal, prob)
+    termination semantics as ba/lm.py lm_solve. huber_delta > 0 turns on
+    a Huber robust loss (IRLS reweighting) at that pixel scale."""
+    cost0 = _cost(prob.cams, prob.points, prob.focal, prob, huber_delta)
     if axis_name:
         cost0 = jax.lax.psum(cost0, axis_name)
 
@@ -239,12 +264,13 @@ def lm_solve_sparse(
     def body(state):
         it, p, lam, nu, cost, done, rejects = state
         d_c, d_p, d_f, pred = _lm_step_sparse(p, lam, share_focal,
-                                              cg_iterations, axis_name)
+                                              cg_iterations, axis_name,
+                                              huber_delta)
         new_cams = p.cams - d_c
         new_points = p.points - d_p
         new_focal = p.focal - d_f
         p_try = p._replace(cams=new_cams, points=new_points, focal=new_focal)
-        new_cost = _cost(new_cams, new_points, new_focal, p_try)
+        new_cost = _cost(new_cams, new_points, new_focal, p_try, huber_delta)
         if axis_name:
             new_cost = jax.lax.psum(new_cost, axis_name)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
@@ -294,6 +320,7 @@ def adjust_bundle_sparse(
     initial_lambda: float = 1e-3,
     share_focal: bool = True,
     cg_iterations: int = 32,
+    huber_delta: float = 0.0,
 ):
     """High-level sparse BA with the adjustBundle API shape
     (SfMBundleAdjustmentUtils.h:35-50) over a COO observation list."""
@@ -311,7 +338,7 @@ def adjust_bundle_sparse(
         prob, max_iterations=max_iterations,
         function_tolerance=function_tolerance,
         initial_lambda=initial_lambda, share_focal=share_focal,
-        cg_iterations=cg_iterations)
+        cg_iterations=cg_iterations, huber_delta=huber_delta)
     R = camera.rodrigues_to_matrix_b(sol.cams[:, :3])
     out_Rt = jnp.concatenate([R, sol.cams[:, 3:, None]], axis=2)
     out_Rt = jnp.where(cam_valid[:, None, None], out_Rt, poses_Rt)

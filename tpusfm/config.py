@@ -148,6 +148,17 @@ class SfMConfig:
     collection_local_ba_cams: int = 8         # sliding local-BA camera window
     collection_global_ba_interval: int = 50   # global COO BA every k registrations
     collection_match_chunk: int = 256         # pairs per matching dispatch
+    # Huber robust-loss scale (px) for the collection pipeline's GLOBAL
+    # BA solves. Loop-closure observations land with the full accumulated
+    # loop drift as residual; a quadratic loss either lets them dominate
+    # or (after pruning) discards the closure entirely — Huber keeps them
+    # pulling linearly until the loop shuts. 0 disables (the reference
+    # has no robust loss, SfMBundleAdjustmentUtils.cpp:92).
+    collection_huber_px: float = 3.0
+    # Observation-prune threshold multiplier applied before the FINAL
+    # deep global solves: closure observations may legitimately sit far
+    # outside the triangulation gate until that solve absorbs them.
+    collection_final_prune_factor: float = 4.0
     # Minimum ray parallax for an accepted triangulation. Without it, the
     # cheirality + reprojection gates keep the biased-NEAR tail of the
     # low-parallax depth distribution (far/behind solutions get rejected),

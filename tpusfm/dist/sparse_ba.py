@@ -77,6 +77,7 @@ def adjust_bundle_sparse_sharded(
     initial_lambda: float = 1e-3,
     share_focal: bool = True,
     cg_iterations: int = 32,
+    huber_delta: float = 0.0,
 ):
     """Distributed equivalent of ba.sparse.adjust_bundle_sparse."""
     axis = mesh.axis_names[0]
@@ -98,7 +99,8 @@ def adjust_bundle_sparse_sharded(
             prob, max_iterations=max_iterations,
             function_tolerance=function_tolerance,
             initial_lambda=initial_lambda, share_focal=share_focal,
-            cg_iterations=cg_iterations, axis_name=axis)
+            cg_iterations=cg_iterations, axis_name=axis,
+            huber_delta=huber_delta)
         return sol.cams, sol.points, sol.focal, summary
 
     fn = jax.jit(jax.shard_map(

@@ -250,6 +250,84 @@ class CollectionPipeline:
 
         self._jit_tri_rows = jax.jit(tri_rows)
 
+        TRI_K = 8  # max observations per multi-view triangulation
+
+        def tri_multi(Rt, uv, msk, K, Kinv):
+            """Batched N-view triangulation: DLT over all observations,
+            then Gauss-Newton refinement of the 3D point, then per-obs
+            gates. Rt (B, K, 3, 4), uv (B, K, 2), msk (B, K).
+
+            The 2-view widest-baseline triangulation breaks down under
+            accumulated pose drift: the two chosen views disagree by the
+            full drift across the window and the dual reprojection gate
+            mass-rejects (measured 2/326 at a 150-view frontier). The
+            N-view solve spreads the residual over every local view —
+            drift-consistent points that keep the frontier fed and give
+            the global BA long-range constraints. This is the standard
+            multi-view DLT [HZ 12.2] the reference's per-pair loop
+            approximates one pair at a time (MultiCameraPnP.cpp:308-444).
+            """
+
+            def one(Rts, uvs, m):
+                x = jax.vmap(lambda a: camera.normalize_points(Kinv, a[None])[0])(uvs)
+                # DLT rows: x * P[2] - P[0], y * P[2] - P[1]
+                P = Rts                                       # (K, 3, 4) normalized
+                r0 = x[:, 0:1] * P[:, 2] - P[:, 0]            # (K, 4)
+                r1 = x[:, 1:2] * P[:, 2] - P[:, 1]
+                A = jnp.concatenate([r0, r1], 0)              # (2K, 4)
+                wA = A * jnp.concatenate([m, m], 0)[:, None]
+                AtA = wA.T @ wA
+                _, vecs = jnp.linalg.eigh(AtA)
+                Xh = vecs[:, 0]
+                X = Xh[:3] / jnp.where(jnp.abs(Xh[3]) < 1e-12, 1e-12, Xh[3])
+
+                def gn_step(_, X):
+                    # Gauss-Newton on pixel reprojection over all obs
+                    pc = jnp.einsum("kij,j->ki", Rts[:, :, :3], X) + Rts[:, :, 3]
+                    z = jnp.where(jnp.abs(pc[:, 2:]) < 1e-9, 1e-9, pc[:, 2:])
+                    pr = pc[:, :2] / z * K[0, 0] + K[:2, 2]
+                    r = (pr - uvs) * m[:, None]               # (K, 2)
+                    f = K[0, 0]
+                    # d(pr)/dX = f/z * [R0 - x_n R2; R1 - y_n R2]
+                    xn = pc[:, 0:1] / z
+                    yn = pc[:, 1:2] / z
+                    J0 = (Rts[:, 0, :3] - xn * Rts[:, 2, :3]) * (f / z)
+                    J1 = (Rts[:, 1, :3] - yn * Rts[:, 2, :3]) * (f / z)
+                    J = jnp.concatenate([J0, J1], 0) * \
+                        jnp.concatenate([m, m], 0)[:, None]   # (2K, 3)
+                    rr = jnp.concatenate([r[:, 0], r[:, 1]], 0)
+                    H = J.T @ J + 1e-6 * jnp.eye(3)
+                    g = J.T @ rr
+                    dX = jnp.linalg.solve(H, g)
+                    dX = jnp.where(jnp.all(jnp.isfinite(dX)), dX, 0.0)
+                    return X - dX
+
+                X = jax.lax.fori_loop(0, 5, gn_step, X)
+                pc = jnp.einsum("kij,j->ki", Rts[:, :, :3], X) + Rts[:, :, 3]
+                z = jnp.where(jnp.abs(pc[:, 2:]) < 1e-9, 1e-9, pc[:, 2:])
+                pr = pc[:, :2] / z * K[0, 0] + K[:2, 2]
+                err = jnp.linalg.norm(pr - uvs, axis=1)
+                n = jnp.maximum(jnp.sum(m), 1.0)
+                ok_err = jnp.sum((err <= gate) * m) >= n      # every obs in gate
+                ok_z = jnp.sum((pc[:, 2] > 0) * m) >= n       # cheirality all
+                # parallax: widest pair of camera centers vs point
+                C = jax.vmap(camera.camera_center)(Rts)       # (K, 3)
+                rays = X[None, :] - C
+                rn = rays / jnp.maximum(
+                    jnp.linalg.norm(rays, axis=1, keepdims=True), 1e-12)
+                cosm = jnp.einsum("ia,ja->ij", rn, rn)
+                pairm = (m[:, None] * m[None, :]) > 0
+                cmin = jnp.min(jnp.where(pairm, cosm, 1.0))
+                keep = (ok_err & ok_z & (cmin <= cos_min)
+                        & jnp.all(jnp.isfinite(X)) & (n >= 2))
+                return X, keep
+
+            X, keep = jax.vmap(one)(Rt, uv, msk)
+            return X, keep
+
+        self._jit_tri_multi = jax.jit(tri_multi)
+        self._tri_k = TRI_K
+
         # Local BA must NOT refine the shared focal: with most cameras
         # frozen it would absorb window-local error into the one global
         # focal and silently corrupt every frozen view. Only the global
@@ -263,13 +341,44 @@ class CollectionPipeline:
                 initial_lambda=cfg.ba_initial_lambda,
                 share_focal=False))
 
+        # Schur-CG information propagates ~one camera hop per CG
+        # iteration through the camera-coupling graph, so the CG depth
+        # must scale with the camera count or drift accumulates into
+        # loop-scale modes the solver can never reach (measured on a
+        # 150-view orbit: cg=32 leaves the final BA cost-capped and the
+        # map bent at ATE 0.53; cg=V reaches 0.29). Interval solves keep
+        # the ring continuously distributed; the final polish gets a
+        # deeper budget still.
+        self._interval_cg = int(min(max(48, self.V), 256))
         self._jit_global_ba = jax.jit(lambda poses, free, pts, ci, pi, uv, w, Kx:
             adjust_bundle_sparse(
                 poses, free, pts, ci, pi, uv, w, Kx,
                 max_iterations=cfg.ba_max_iterations,
                 function_tolerance=cfg.ba_function_tolerance,
                 initial_lambda=cfg.ba_initial_lambda,
-                share_focal=cfg.ba_share_focal))
+                share_focal=cfg.ba_share_focal,
+                cg_iterations=self._interval_cg,
+                huber_delta=cfg.collection_huber_px))
+
+        # The final deep solve is CHUNKED into bounded-length device
+        # programs with host-side continuation: a single XLA program
+        # running 2*ba_max LM iterations x _final_cg CG iterations over a
+        # 256k-observation map executes for many minutes and trips the
+        # TPU worker's execution watchdog ("TPU worker process crashed",
+        # reproduced twice at the same call on the 500-view config).
+        # Each chunk re-enters with the previous chunk's poses/points/K;
+        # the Nielsen damping re-adapts within ~2 iterations.
+        self._final_cg = int(min(max(64, self.V), 384))
+        self._final_chunk = 30
+        self._jit_final_ba = jax.jit(lambda poses, free, pts, ci, pi, uv, w, Kx:
+            adjust_bundle_sparse(
+                poses, free, pts, ci, pi, uv, w, Kx,
+                max_iterations=self._final_chunk,
+                function_tolerance=cfg.ba_function_tolerance * 0.1,
+                initial_lambda=cfg.ba_initial_lambda,
+                share_focal=cfg.ba_share_focal,
+                cg_iterations=self._final_cg,
+                huber_delta=cfg.collection_huber_px))
 
     # ------------------------------------------------------------------ #
     # stages
@@ -579,71 +688,74 @@ class CollectionPipeline:
             centers[w] = -Rt[:, :3].T @ Rt[:, 3]
         return centers
 
-    def _best_per_track(self, score: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """argmax-by-track over per-observation scores -> (best_score (T,),
-        best_obs (T,)); score < 0 marks an ineligible observation."""
-        best = np.full(self.T, -1.0)
-        np.maximum.at(best, self.obs_track, score)
-        order = np.lexsort((score, self.obs_track))
-        st = self.obs_track[order]
-        bounds = np.searchsorted(st, np.arange(self.T + 1))
-        best_obs = np.full(self.T, -1, np.int64)
-        has = bounds[1:] > bounds[:-1]
-        best_obs[has] = order[bounds[1:][has] - 1]
-        return best, best_obs
+    def _tri_tracks(self, tr_ids: np.ndarray) -> int:
+        """Multi-view triangulate the given tracks from ALL their alive
+        registered observations (up to _tri_k, evenly spread over the
+        view range); writes track_xyz/track_ok. Returns accepted count."""
+        K_TRI = self._tri_k
+        tr_ids = np.asarray(np.sort(tr_ids), np.int64)
+        if len(tr_ids) == 0:
+            return 0
+        tmask = np.zeros(self.T, bool)
+        tmask[tr_ids] = True
+        sel = np.nonzero(self.obs_alive & self.pose_valid[self.obs_view]
+                         & tmask[self.obs_track])[0]
+        order = np.lexsort((self.obs_view[sel], self.obs_track[sel]))
+        sel = sel[order]
+        st = self.obs_track[sel]
+        starts = np.searchsorted(st, tr_ids)
+        ends = np.searchsorted(st, tr_ids, side="right")
+        c = ends - starts
+        tr_ids = tr_ids[c >= 2]
+        starts = starts[c >= 2]
+        c = c[c >= 2]
+        B = len(tr_ids)
+        if B == 0:
+            return 0
+        # per-track observation slots: all of them when c <= K, evenly
+        # spread over the view-sorted range when c > K (max parallax)
+        lin = np.arange(K_TRI)
+        pos = np.where(
+            (c >= K_TRI)[:, None],
+            np.round(lin[None, :] * (c[:, None] - 1)
+                     / max(K_TRI - 1, 1)).astype(np.int64),
+            np.minimum(lin[None, :], c[:, None] - 1))
+        oidx = sel[starts[:, None] + pos]                       # (B, K)
+        msk = (lin[None, :] < np.minimum(c, K_TRI)[:, None])
+        cap = _pow2(B, 256)
 
-    def _tri_obs_pairs(self, oa: np.ndarray, ob: np.ndarray) -> np.ndarray:
-        """Triangulate observation pairs (rows of oa vs ob) with the dual
-        reprojection gate; writes track_xyz/track_ok. Returns keep mask."""
-        n = len(oa)
-        cap = _pow2(n, 256)
-
-        def pad(x, shape, dtype):
-            out = np.zeros(shape, dtype)
-            out[:n] = x
+        def pad(x, dtype):
+            out = np.zeros((cap,) + x.shape[1:], dtype)
+            out[:B] = x
             return jnp.asarray(out)
 
-        Rt1 = pad(self.poses[self.obs_view[oa]], (cap, 3, 4), np.float32)
-        Rt2 = pad(self.poses[self.obs_view[ob]], (cap, 3, 4), np.float32)
-        uv1 = pad(self.obs_uv[oa], (cap, 2), np.float32)
-        uv2 = pad(self.obs_uv[ob], (cap, 2), np.float32)
-        msk = np.zeros(cap, bool)
-        msk[:n] = True
+        Rt = pad(self.poses[self.obs_view[oidx]], np.float32)   # (cap,K,3,4)
+        uv = pad(self.obs_uv[oidx], np.float32)
+        mk = pad(msk.astype(np.float32), np.float32)
         Kj, Kinv = self._K()
-        X, keep = self._jit_tri_rows(Rt1, Rt2, uv1, uv2, jnp.asarray(msk),
-                                     Kj, Kinv)
-        keep_np = np_of(keep)[:n]
-        tr = self.obs_track[oa]
-        self.track_xyz[tr[keep_np]] = np_of(X)[:n][keep_np]
-        self.track_ok[tr[keep_np]] = True
-        return keep_np
+        X, keep = self._jit_tri_multi(Rt, uv, mk, Kj, Kinv)
+        keep_np = np_of(keep)[:B]
+        self.track_xyz[tr_ids[keep_np]] = np_of(X)[:B][keep_np]
+        self.track_ok[tr_ids[keep_np]] = True
+        return int(keep_np.sum())
 
     def _triangulate_new(self, v: int) -> int:
-        """Triangulate tracks that gained their second registered
-        observation with the registration of v: partner = the registered
-        view with the widest baseline (legacy TriangulatePointsBetweenViews
-        runs v against EVERY good view, MultiCameraPnP.cpp:308-444 — one
-        widest-baseline partner is the O(1) equivalent that keeps the
-        dual reprojection gate, SfMStereoUtilities.cpp:184-190)."""
-        reg = self.pose_valid
-        centers = self._centers()
-        cv = centers[v]
-        score = np.where(self.obs_alive & reg[self.obs_view]
-                         & (self.obs_view != v),
-                         np.linalg.norm(centers[self.obs_view] - cv, axis=1),
-                         -1.0)
-        best, best_obs = self._best_per_track(score)
-
+        """Triangulate tracks that gained an observation with the
+        registration of v and are not yet in the map, from all their
+        registered observations (legacy TriangulatePointsBetweenViews
+        runs v against EVERY good view, MultiCameraPnP.cpp:308-444 —
+        the N-view solve is the batched equivalent)."""
+        sel = self.obs_alive & self.pose_valid[self.obs_view]
+        cnt = np.bincount(self.obs_track[sel], minlength=self.T)
         in_v = np.nonzero((self.obs_view == v) & self.obs_alive)[0]
-        tr = self.obs_track[in_v]
-        cand = (~self.track_ok[tr]) & (best[tr] > 0)
-        in_v = in_v[cand]
-        if len(in_v) == 0:
+        tr = np.unique(self.obs_track[in_v])
+        tr = tr[(~self.track_ok[tr]) & (cnt[tr] >= 2)]
+        if len(tr) == 0:
             return 0
-        keep = self._tri_obs_pairs(in_v, best_obs[self.obs_track[in_v]])
-        self._log(0, f"  triangulate: {int(keep.sum())}/{len(in_v)} candidates "
-                     f"passed the dual {self.cfg.min_reprojection_error:.0f}px gate")
-        return int(keep.sum())
+        n_ok = self._tri_tracks(tr)
+        self._log(0, f"  triangulate: {n_ok}/{len(tr)} candidates passed "
+                     f"the {self.cfg.min_reprojection_error:.0f}px gate")
+        return n_ok
 
     def _retriangulate(self) -> int:
         """Re-triangulate pool tracks (never triangulated, or pruned back)
@@ -652,40 +764,16 @@ class CollectionPipeline:
         analog is re-running triangulation of a view pair after pose
         refinement (SfM.cpp:413-461); here it recovers tracks the
         interleaved pruning sent back to the pool."""
-        reg = self.pose_valid
-        sel = self.obs_alive & reg[self.obs_view]
+        sel = self.obs_alive & self.pose_valid[self.obs_view]
         cnt = np.bincount(self.obs_track[sel], minlength=self.T)
-        cand_t = (~self.track_ok) & (cnt >= 2)
-        if not cand_t.any():
+        tr = np.nonzero((~self.track_ok) & (cnt >= 2))[0]
+        if len(tr) == 0:
             return 0
-        centers = self._centers()
-        eligible = sel & cand_t[self.obs_track]
-        # anchor = lowest-view alive registered observation of the track
-        o = np.nonzero(eligible)[0]
-        order = np.lexsort((self.obs_view[o], self.obs_track[o]))
-        o = o[order]
-        st = self.obs_track[o]
-        first_of = np.full(self.T, -1, np.int64)
-        firsts = np.searchsorted(st, np.arange(self.T + 1))
-        has = firsts[1:] > firsts[:-1]
-        first_of[has] = o[firsts[:-1][has]]
-        anchor_center = np.zeros((self.T, 3), np.float32)
-        anchor_center[has] = centers[self.obs_view[first_of[has]]]
-        # partner = farthest registered alive observation from the anchor
-        score = np.where(eligible,
-                         np.linalg.norm(centers[self.obs_view]
-                                        - anchor_center[self.obs_track], axis=1),
-                         -1.0)
-        _, best_obs = self._best_per_track(score)
-        tr_ids = np.nonzero(cand_t & (first_of >= 0) & (best_obs >= 0)
-                            & (best_obs != first_of))[0]
-        if len(tr_ids) == 0:
-            return 0
-        keep = self._tri_obs_pairs(first_of[tr_ids], best_obs[tr_ids])
-        return int(keep.sum())
+        return self._tri_tracks(tr)
 
     # ------------------------------------------------------------------ #
-    def _ba(self, free_views: np.ndarray, global_ba: bool) -> None:
+    def _ba(self, free_views: np.ndarray, global_ba: bool,
+            final: bool = False) -> None:
         """COO bundle adjustment over the tracks observed by free_views.
 
         Local mode optimizes the sliding camera window against frozen
@@ -693,8 +781,12 @@ class CollectionPipeline:
         shards point blocks over the mesh when one is given."""
         if global_ba:
             # cut gross outliers BEFORE the solve: LM over a heavy-tailed
-            # residual set rejects its first trust-region steps and stalls
-            self._prune_observations()
+            # residual set rejects its first trust-region steps and
+            # stalls. The FINAL solves prune at a wider gate — closure
+            # observations legitimately carry the whole accumulated loop
+            # drift until the deep Huber solve absorbs it.
+            self._prune_observations(
+                self.cfg.collection_final_prune_factor if final else 1.0)
         reg = self.pose_valid
         free_mask = np.zeros(self.V, bool)
         free_mask[free_views] = True
@@ -737,10 +829,44 @@ class CollectionPipeline:
             out_Rt, out_pts, newK, summary = adjust_bundle_sparse_sharded(
                 self.mesh, jnp.asarray(self.poses), jnp.asarray(free_mask),
                 pts, ci, pi, uv, w, jnp.asarray(K),
-                max_iterations=self.cfg.ba_max_iterations,
-                function_tolerance=self.cfg.ba_function_tolerance,
+                max_iterations=(2 * self.cfg.ba_max_iterations if final
+                                else self.cfg.ba_max_iterations),
+                function_tolerance=(self.cfg.ba_function_tolerance * 0.1
+                                    if final else
+                                    self.cfg.ba_function_tolerance),
                 initial_lambda=self.cfg.ba_initial_lambda,
-                share_focal=self.cfg.ba_share_focal)
+                share_focal=self.cfg.ba_share_focal,
+                cg_iterations=(self._final_cg if final
+                               else self._interval_cg),
+                huber_delta=self.cfg.collection_huber_px)
+        elif final:
+            # host-side continuation over bounded-length device chunks
+            # (see _jit_final_ba) up to the 2*ba_max_iterations budget
+            poses_j = jnp.asarray(self.poses)
+            pts_j = jnp.asarray(pts)
+            K_j = jnp.asarray(K)
+            free_j = jnp.asarray(free_mask)
+            ci_j, pi_j = jnp.asarray(ci), jnp.asarray(pi)
+            uv_j, w_j = jnp.asarray(uv), jnp.asarray(w)
+            budget = 2 * self.cfg.ba_max_iterations
+            total_it = 0
+            initial_cost = prev_cost = None
+            while total_it < budget:
+                out_Rt, out_pts, newK, summary = self._jit_final_ba(
+                    poses_j, free_j, pts_j, ci_j, pi_j, uv_j, w_j, K_j)
+                it = int(summary.iterations)
+                total_it += it
+                if initial_cost is None:
+                    initial_cost = summary.initial_cost
+                cost = float(summary.final_cost)
+                poses_j, pts_j, K_j = out_Rt, out_pts, newK
+                if it < self._final_chunk:
+                    break                      # converged inside the chunk
+                if prev_cost is not None and cost >= prev_cost * (1 - 1e-6):
+                    break                      # chunk-to-chunk stall
+                prev_cost = cost
+            summary = summary._replace(initial_cost=initial_cost,
+                                       iterations=jnp.asarray(total_it))
         else:
             fn = self._jit_global_ba if global_ba else self._jit_local_ba
             out_Rt, out_pts, newK, summary = fn(
@@ -764,12 +890,12 @@ class CollectionPipeline:
                   f"{int(summary.iterations)} iters "
                   f"({n_pts} pts, {n_obs} obs)")
 
-    def _prune_observations(self):
-        """Cut observations whose reprojection exceeds the triangulation
-        gate after a global BA; tracks left with < 2 registered alive
-        observations lose their point and go back to the triangulation
-        pool (the collection-scale analog of the reference's per-merge
-        reprojection confirmation)."""
+    def _prune_observations(self, factor: float = 1.0):
+        """Cut observations whose reprojection exceeds factor x the
+        triangulation gate after a global BA; tracks left with < 2
+        registered alive observations lose their point and go back to the
+        triangulation pool (the collection-scale analog of the
+        reference's per-merge reprojection confirmation)."""
         sel = np.nonzero(self.obs_alive & self.track_ok[self.obs_track]
                          & self.pose_valid[self.obs_view])[0]
         if not len(sel):
@@ -781,7 +907,7 @@ class CollectionPipeline:
         z = np.where(np.abs(pc[:, 2:]) < 1e-9, 1e-9, pc[:, 2:])
         pr = pc[:, :2] / z * K[0, 0] + K[:2, 2]
         err = np.linalg.norm(pr - self.obs_uv[sel], axis=1)
-        bad = (err > self.cfg.min_reprojection_error) | (pc[:, 2] <= 0)
+        bad = (err > factor * self.cfg.min_reprojection_error) | (pc[:, 2] <= 0)
         self.obs_alive[sel[bad]] = False
         live = np.bincount(
             self.obs_track[self.obs_alive & self.pose_valid[self.obs_view]],
@@ -859,13 +985,13 @@ class CollectionPipeline:
                 failed.clear()     # a better map may revive failed views
                 since_global = 0
 
-        # final polish: global BA, recover pruned tracks at the refined
-        # poses, then one more global pass over the completed map
-        self._ba(np.nonzero(self.pose_valid)[0], global_ba=True)
+        # final polish: deep-CG global BA, recover pruned tracks at the
+        # refined poses, then one more deep pass over the completed map
+        self._ba(np.nonzero(self.pose_valid)[0], global_ba=True, final=True)
         n_re = self._retriangulate()
         if n_re:
             self._log(1, f"retriangulated {n_re} pool tracks")
-        self._ba(np.nonzero(self.pose_valid)[0], global_ba=True)
+        self._ba(np.nonzero(self.pose_valid)[0], global_ba=True, final=True)
         self._timings["solve_s"] = time.perf_counter() - t1
         self._timings["total_s"] = time.perf_counter() - t0
         self._timings["ba_iters"] = self._ba_iters
