@@ -349,31 +349,32 @@ class CollectionPipeline:
         # map bent at ATE 0.53; cg=V reaches 0.29). Interval solves keep
         # the ring continuously distributed; the final polish gets a
         # deeper budget still.
+        # Every GLOBAL solve is CHUNKED into bounded-length device
+        # programs (<= _ba_chunk LM iterations each, ~5 s/iteration at
+        # the 500-view map) with host-side continuation: one XLA program
+        # executing for minutes trips the TPU worker's execution
+        # watchdog ("TPU worker process crashed" — reproduced standalone
+        # at 30 LM x 384 CG over 262k observations, while the same solve
+        # as shorter programs completes). Each chunk re-enters with the
+        # previous chunk's poses/points/K; the Nielsen damping re-adapts
+        # within ~2 iterations.
+        self._ba_chunk = 10
         self._interval_cg = int(min(max(48, self.V), 256))
         self._jit_global_ba = jax.jit(lambda poses, free, pts, ci, pi, uv, w, Kx:
             adjust_bundle_sparse(
                 poses, free, pts, ci, pi, uv, w, Kx,
-                max_iterations=cfg.ba_max_iterations,
+                max_iterations=self._ba_chunk,
                 function_tolerance=cfg.ba_function_tolerance,
                 initial_lambda=cfg.ba_initial_lambda,
                 share_focal=cfg.ba_share_focal,
                 cg_iterations=self._interval_cg,
                 huber_delta=cfg.collection_huber_px))
 
-        # The final deep solve is CHUNKED into bounded-length device
-        # programs with host-side continuation: a single XLA program
-        # running 2*ba_max LM iterations x _final_cg CG iterations over a
-        # 256k-observation map executes for many minutes and trips the
-        # TPU worker's execution watchdog ("TPU worker process crashed",
-        # reproduced twice at the same call on the 500-view config).
-        # Each chunk re-enters with the previous chunk's poses/points/K;
-        # the Nielsen damping re-adapts within ~2 iterations.
-        self._final_cg = int(min(max(64, self.V), 384))
-        self._final_chunk = 30
+        self._final_cg = int(min(max(64, self.V), 320))
         self._jit_final_ba = jax.jit(lambda poses, free, pts, ci, pi, uv, w, Kx:
             adjust_bundle_sparse(
                 poses, free, pts, ci, pi, uv, w, Kx,
-                max_iterations=self._final_chunk,
+                max_iterations=self._ba_chunk,
                 function_tolerance=cfg.ba_function_tolerance * 0.1,
                 initial_lambda=cfg.ba_initial_lambda,
                 share_focal=cfg.ba_share_focal,
@@ -839,20 +840,22 @@ class CollectionPipeline:
                 cg_iterations=(self._final_cg if final
                                else self._interval_cg),
                 huber_delta=self.cfg.collection_huber_px)
-        elif final:
+        elif global_ba:
             # host-side continuation over bounded-length device chunks
-            # (see _jit_final_ba) up to the 2*ba_max_iterations budget
+            # (see _jit_global_ba/_jit_final_ba) up to the iteration
+            # budget
+            fn = self._jit_final_ba if final else self._jit_global_ba
+            budget = (2 if final else 1) * self.cfg.ba_max_iterations
             poses_j = jnp.asarray(self.poses)
             pts_j = jnp.asarray(pts)
             K_j = jnp.asarray(K)
             free_j = jnp.asarray(free_mask)
             ci_j, pi_j = jnp.asarray(ci), jnp.asarray(pi)
             uv_j, w_j = jnp.asarray(uv), jnp.asarray(w)
-            budget = 2 * self.cfg.ba_max_iterations
             total_it = 0
             initial_cost = prev_cost = None
             while total_it < budget:
-                out_Rt, out_pts, newK, summary = self._jit_final_ba(
+                out_Rt, out_pts, newK, summary = fn(
                     poses_j, free_j, pts_j, ci_j, pi_j, uv_j, w_j, K_j)
                 it = int(summary.iterations)
                 total_it += it
@@ -860,7 +863,7 @@ class CollectionPipeline:
                     initial_cost = summary.initial_cost
                 cost = float(summary.final_cost)
                 poses_j, pts_j, K_j = out_Rt, out_pts, newK
-                if it < self._final_chunk:
+                if it < self._ba_chunk:
                     break                      # converged inside the chunk
                 if prev_cost is not None and cost >= prev_cost * (1 - 1e-6):
                     break                      # chunk-to-chunk stall
@@ -868,8 +871,7 @@ class CollectionPipeline:
             summary = summary._replace(initial_cost=initial_cost,
                                        iterations=jnp.asarray(total_it))
         else:
-            fn = self._jit_global_ba if global_ba else self._jit_local_ba
-            out_Rt, out_pts, newK, summary = fn(
+            out_Rt, out_pts, newK, summary = self._jit_local_ba(
                 jnp.asarray(self.poses), jnp.asarray(free_mask),
                 jnp.asarray(pts), jnp.asarray(ci), jnp.asarray(pi),
                 jnp.asarray(uv), jnp.asarray(w), jnp.asarray(K))
