@@ -37,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "f=2500 mock intrinsics (SfM.cpp:70-74)")
     p.add_argument("--focal", type=float, default=None,
                    help="override focal length in (full-res) pixels")
-    p.add_argument("--max-features", type=int, default=2048)
+    p.add_argument("--max-features", type=int, default=5120)
     p.add_argument("--max-matches", type=int, default=1024)
     p.add_argument("--matcher", choices=["rich", "of", "dense", "surf", "stereo"],
                    default="rich",

@@ -33,7 +33,12 @@ class EssentialDecomposition(enum.Enum):
 @dataclasses.dataclass
 class SfMConfig:
     # ---- features (reference: SfM2DFeatureUtilities.cpp:35-40) ----
-    max_features: int = 2048          # reference uses 5000 ORB keypoints
+    # 5120 = the reference's 5000-keypoint operating point rounded to the
+    # MXU tile multiple. QUALITY.json (crazyhorse, one v5e chip): 5120
+    # yields 2168 points at 0.76px vs 643 points at 0.45px for 2048, at
+    # 1.35s vs 0.98s warm — the reference reenactment lands 2131 points,
+    # so the 5120 default is the parity choice.
+    max_features: int = 5120
     desc_bits: int = 256              # BRIEF descriptor length
     pyramid_levels: int = 4           # ORB default is 8 @ 1.2 scale
     pyramid_scale: float = 1.2
@@ -41,7 +46,7 @@ class SfMConfig:
     match_ratio: float = 0.8          # Lowe ratio (SfM2DFeatureUtilities.cpp:35)
     match_ratio_flow: float = 0.7     # legacy GPU/OF ratio (GPUSURFFeatureMatcher.cpp:120)
     cross_check: bool = False         # legacy RichFeatureMatcher BFMatcher(crossCheck=true)
-    max_matches: int = 1024           # static match capacity per pair
+    max_matches: int = 2048           # static match capacity per pair
     matcher: MatcherKind = MatcherKind.RICH
     use_pallas_matcher: bool = True   # fused streaming-top2 TPU kernel (features/pallas_match.py)
     # detector ranking score: "harris" (cv::ORB HARRIS_SCORE) or "min_eig"

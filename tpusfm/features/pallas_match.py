@@ -17,8 +17,9 @@ TRANSPOSED distance tile: the per-tile distances are computed as
 (TJ, TI) = d2_tile · d1_tileᵀ, NOT (TI, TJ). The top-2 reduction then
 runs over axis 0 — the SUBLANE direction — where the VPU reduces with
 cheap register trees; reducing across the 128-wide LANE direction costs
-log2(128) cross-lane shuffles per step and measured 5x slower end to
-end (663 -> 3643 pairs/s @ 5120 feats with the int8 MXU path).
+log2(128) cross-lane shuffles per step and measured ~5x slower end to
+end. Recorded throughput (SCALE_BENCH.json, one v5e chip): 663 pairs/s
+with the f32 path -> 2915 pairs/s @ 5120 feats with the int8 MXU path.
 """
 from __future__ import annotations
 
