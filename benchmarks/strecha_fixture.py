@@ -58,19 +58,29 @@ def _value_noise3(X, scale, seed):
     return out
 
 
-def _noise3(seed: int):
+def _noise3(seed: int, detail: float = 1.0):
     """Aperiodic multi-octave 3D value noise.
 
     Hash-lattice noise, NOT sinusoids: a sum of global sinusoids is
     quasi-periodic, which floods the matcher with repeated patterns and
     poisons the track graph with self-similar correspondences; lattice
-    noise is locally distinctive everywhere (like real masonry)."""
+    noise is locally distinctive everywhere (like real masonry).
+
+    detail > 1 extends the octave cascade toward finer world scales
+    (amplitudes continuing the ~0.55x-per-octave rolloff). A 4K render
+    of the SAME band-limited texture puts every feature at 6x the pixel
+    scale — outside the FAST-9 detection band — while a real 4K photo
+    has detail down to the pixel; the extra octaves restore that."""
 
     def tex(X):                           # X (..., 3) -> value in [0, 1]
         v = (0.5 * _value_noise3(X, 0.9, seed)
              + 0.28 * _value_noise3(X, 2.3, seed + 1)
              + 0.16 * _value_noise3(X, 5.1, seed + 2)
              + 0.08 * _value_noise3(X, 11.7, seed + 3))
+        amp, scale, k = 0.14, 26.0, 4
+        while scale < 11.7 * detail:
+            v = v + amp * _value_noise3(X, scale, seed + k)
+            amp, scale, k = amp * 0.65, scale * 2.2, k + 1
         v = (v - 0.5) * 2.8
         return 0.5 + 0.42 * np.tanh(v)
 
@@ -124,12 +134,15 @@ def _render(Rt, K, dist, h, w, tex):
 def make_fixture(out_dir: str, n_views: int = 9,
                  h: int = 384, w: int = 512, focal: float = 520.0,
                  dist=(0.0, 0.0, 0.0), seed: int = 0, **_legacy):
-    """Write a Strecha-format dataset; returns (gt_poses (V,3,4), K)."""
+    """Write a Strecha-format dataset; returns (gt_poses (V,3,4), K).
+
+    Texture detail scales with the render resolution (see _noise3) so
+    high-resolution configs have detectable pixel-scale structure."""
     from PIL import Image
 
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
-    tex = _noise3(seed + 7)
+    tex = _noise3(seed + 7, detail=max(w / 512.0, 1.0))
     K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float64)
     dist = np.asarray(dist, np.float64)
 

@@ -374,7 +374,10 @@ def extract_features(
     """
     images = jnp.asarray(images, jnp.float32)
     v, h, w = images.shape
-    per_level = max(max_features // max(pyramid_levels, 1), 256)
+    # ceil division: the level candidates together must cover the final
+    # global top-k (floor division left 6x853=5118 < 5120 and top_k
+    # rejects k > axis size)
+    per_level = max(-(-max_features // max(pyramid_levels, 1)), 256)
     level_fn = _level_kernel(float(fast_threshold), per_level, margin,
                              desc_bits, float(blur_sigma), score_kind, sampling)
 
