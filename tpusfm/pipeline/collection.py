@@ -723,22 +723,32 @@ class CollectionPipeline:
             np.minimum(lin[None, :], c[:, None] - 1))
         oidx = sel[starts[:, None] + pos]                       # (B, K)
         msk = (lin[None, :] < np.minimum(c, K_TRI)[:, None])
-        cap = _pow2(B, 256)
-
-        def pad(x, dtype):
-            out = np.zeros((cap,) + x.shape[1:], dtype)
-            out[:B] = x
-            return jnp.asarray(out)
-
-        Rt = pad(self.poses[self.obs_view[oidx]], np.float32)   # (cap,K,3,4)
-        uv = pad(self.obs_uv[oidx], np.float32)
-        mk = pad(msk.astype(np.float32), np.float32)
         Kj, Kinv = self._K()
-        X, keep = self._jit_tri_multi(Rt, uv, mk, Kj, Kinv)
-        keep_np = np_of(keep)[:B]
-        self.track_xyz[tr_ids[keep_np]] = np_of(X)[:B][keep_np]
-        self.track_ok[tr_ids[keep_np]] = True
-        return int(keep_np.sum())
+        # chunk the device calls: one program over every pool track of a
+        # 5000-view collection (500k+ rows of batched eigh + GN) runs
+        # long enough to trip the TPU worker watchdog
+        CH = 65536
+        n_ok = 0
+        for s0 in range(0, B, CH):
+            blk = slice(s0, min(s0 + CH, B))
+            n = blk.stop - blk.start
+            cap = _pow2(n, 256)
+
+            def pad(x, dtype):
+                out = np.zeros((cap,) + x.shape[1:], dtype)
+                out[:n] = x[blk]
+                return jnp.asarray(out)
+
+            Rt = pad(self.poses[self.obs_view[oidx]], np.float32)
+            uv = pad(self.obs_uv[oidx], np.float32)
+            mk = pad(msk.astype(np.float32), np.float32)
+            X, keep = self._jit_tri_multi(Rt, uv, mk, Kj, Kinv)
+            keep_np = np_of(keep)[:n]
+            ids = tr_ids[blk][keep_np]
+            self.track_xyz[ids] = np_of(X)[:n][keep_np]
+            self.track_ok[ids] = True
+            n_ok += int(keep_np.sum())
+        return n_ok
 
     def _triangulate_new(self, v: int) -> int:
         """Triangulate tracks that gained an observation with the
