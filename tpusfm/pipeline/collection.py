@@ -461,6 +461,12 @@ class CollectionPipeline:
                      f"{'mesh' if self.mesh is not None else '1 dev'})")
         if cfg.epipolar_prune:
             self.prune_matches()
+        # Descriptors are dead weight past this point (tracks consume
+        # only feat_xy, which lives host-side) — at config-5 scale they
+        # hold 5000 x 1024 x 256 f32 = 5.2 GB of HBM that the global BA
+        # needs (observed ResourceExhausted at the first 2M-observation
+        # solve with them still resident).
+        self.features = "matched (descriptors freed)"
 
     def prune_matches(self):
         """Per-pair epipolar RANSAC match pruning BEFORE track building
