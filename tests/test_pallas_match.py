@@ -60,3 +60,20 @@ def test_match_pairs_pallas_agrees_with_jnp_matcher():
     np.testing.assert_array_equal(np.array(m_pallas.valid[0]), np.array(m_jnp.valid))
     sel = np.array(m_jnp.valid)
     np.testing.assert_array_equal(np.array(m_pallas.idx[0])[sel], np.array(m_jnp.idx)[sel])
+
+
+def test_nonpow2_tile_feature_counts():
+    """Feature budgets that are multiples of 256 but not of 1024
+    (1536, 1792) must pick a dividing query tile instead of asserting
+    (advisor r4: configs passing the % 256 gate crashed at trace time)."""
+    for F in (1536, 1792):
+        d1, d2 = _random_descs(1, F, 256, seed=F)
+        v2 = np.ones((1, F), bool)
+        best, second, idx = match_topk2_pallas(
+            jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v2),
+            interpret=True, use_int8=False)
+        dm = np.array(hamming_distance_matrix(jnp.asarray(d1[0]), jnp.asarray(d2[0])))
+        srt = np.sort(dm, axis=1)
+        np.testing.assert_allclose(np.array(best[0]), srt[:, 0])
+        np.testing.assert_allclose(
+            dm[np.arange(F), np.array(idx[0])], srt[:, 0])
