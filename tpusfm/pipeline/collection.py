@@ -358,8 +358,11 @@ class CollectionPipeline:
         # as shorter programs completes). Each chunk re-enters with the
         # previous chunk's poses/points/K; the Nielsen damping re-adapts
         # within ~2 iterations.
-        self._ba_chunk = 10
-        self._interval_cg = int(min(max(48, self.V), 256))
+        # calibrated at the config-5 shape (V=5000, 2M obs): one LM
+        # iteration is ~3-10 s of device time, so 5-iteration chunks stay
+        # safely inside the watchdog at every BASELINE scale
+        self._ba_chunk = 5
+        self._interval_cg = int(min(max(48, self.V), 192))
         self._jit_global_ba = jax.jit(lambda poses, free, pts, ci, pi, uv, w, Kx:
             adjust_bundle_sparse(
                 poses, free, pts, ci, pi, uv, w, Kx,
@@ -370,7 +373,7 @@ class CollectionPipeline:
                 cg_iterations=self._interval_cg,
                 huber_delta=cfg.collection_huber_px))
 
-        self._final_cg = int(min(max(64, self.V), 320))
+        self._final_cg = int(min(max(64, self.V), 256))
         self._jit_final_ba = jax.jit(lambda poses, free, pts, ci, pi, uv, w, Kx:
             adjust_bundle_sparse(
                 poses, free, pts, ci, pi, uv, w, Kx,
