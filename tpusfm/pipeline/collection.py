@@ -358,11 +358,15 @@ class CollectionPipeline:
         # as shorter programs completes). Each chunk re-enters with the
         # previous chunk's poses/points/K; the Nielsen damping re-adapts
         # within ~2 iterations.
-        # calibrated at the config-5 shape (V=5000, 2M obs): one LM
-        # iteration is ~3-10 s of device time, so 5-iteration chunks stay
-        # safely inside the watchdog at every BASELINE scale
+        # calibrated at the config-5 shape (V=5000, 1-2M obs): one LM
+        # iteration is ~3-10 s of device time at cg<=128, so 5-iteration
+        # chunks stay safely inside the watchdog — but cg=256 programs at
+        # V=5000 hang for >10 minutes (a superlinear cliff between
+        # cg=128 and cg=256 at that camera count; cg=320 at V=500 is
+        # fine), so the CG caps step down for large collections
         self._ba_chunk = 5
-        self._interval_cg = int(min(max(48, self.V), 192))
+        big = self.V > 1000
+        self._interval_cg = int(min(max(48, self.V), 96 if big else 192))
         self._jit_global_ba = jax.jit(lambda poses, free, pts, ci, pi, uv, w, Kx:
             adjust_bundle_sparse(
                 poses, free, pts, ci, pi, uv, w, Kx,
@@ -373,7 +377,7 @@ class CollectionPipeline:
                 cg_iterations=self._interval_cg,
                 huber_delta=cfg.collection_huber_px))
 
-        self._final_cg = int(min(max(64, self.V), 256))
+        self._final_cg = int(min(max(64, self.V), 128 if big else 256))
         self._jit_final_ba = jax.jit(lambda poses, free, pts, ci, pi, uv, w, Kx:
             adjust_bundle_sparse(
                 poses, free, pts, ci, pi, uv, w, Kx,
